@@ -1,0 +1,328 @@
+"""Scene compiler: host object graph → static-shaped device SoA pytree.
+
+The TPU analogue of the reference's per-renderer flatteners
+(``cuda_texture_renderer.py:790-973``): the object-oriented ``Scene`` is
+lowered once into structure-of-arrays ``jnp`` buffers that every wavefront
+pass consumes.  Differences from the reference wire format, by design:
+
+* SoA (x/y/z as separate arrays) instead of interleaved float records — TPU
+  lanes want dense same-component vectors (see ``ops/v3.py``).
+* One unified per-primitive material table in plane→sphere→triangle order,
+  so a single gather by "global primitive index" fetches the winner's
+  material after intersection.
+* Primitive counts are padded up to a lane-friendly multiple with
+  *unhittable* sentinel primitives (zero normal / zero radius at 1e9 /
+  degenerate triangle), so no validity masks are needed in the hot loop.
+* The texture atlas is split into three uint8 channel planes (SoA again)
+  plus an ``[offset, width, height]`` info table, path-sorted for stable IDs
+  exactly like the reference (``cuda_texture_renderer.py:798-813``).
+
+GPU-parity mode reproduces the reference wire-format quirks needed for
+pixel-RMSE matching: planes and triangles never carry refraction
+(``cuda_texture_renderer.py:519-520,701-702``) and planes are untextured on
+the device path.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.camera import Camera
+from .core.geometry import Plane, Sphere, Triangle
+from .core.scene import Scene
+from .ops.v3 import V3
+
+
+class MatSoA(NamedTuple):
+    """Per-primitive material table, indexed by global primitive id."""
+
+    color: V3  # (M,)
+    diffuse: jnp.ndarray
+    specular: jnp.ndarray
+    reflective: jnp.ndarray
+    refractive: jnp.ndarray
+    ior: jnp.ndarray
+    has_tex: jnp.ndarray  # float 0/1
+    tex_id: jnp.ndarray  # int32, -1 when untextured
+
+
+class PlanesSoA(NamedTuple):
+    anchor: V3  # (P,)
+    normal: V3
+    u_unit: V3
+    v_unit: V3
+    u_len: jnp.ndarray
+    v_len: jnp.ndarray
+
+
+class SpheresSoA(NamedTuple):
+    center: V3  # (S,)
+    radius: jnp.ndarray
+
+
+class TrianglesSoA(NamedTuple):
+    v0: V3  # (T,)
+    v1: V3
+    v2: V3
+    normal: V3
+    uv0: Tuple[jnp.ndarray, jnp.ndarray]
+    uv1: Tuple[jnp.ndarray, jnp.ndarray]
+    uv2: Tuple[jnp.ndarray, jnp.ndarray]
+
+
+class CompiledScene(NamedTuple):
+    planes: PlanesSoA
+    spheres: SpheresSoA
+    triangles: TrianglesSoA
+    materials: MatSoA  # size P + S + T
+    lights: V3  # (L,) — point samples of area lights
+    light_color: V3  # scalars
+    ambient: V3  # scalars
+    atlas_r: jnp.ndarray  # (Npix,) uint8 channel planes
+    atlas_g: jnp.ndarray
+    atlas_b: jnp.ndarray
+    tex_offset: jnp.ndarray  # (T,) int32, in pixels
+    tex_width: jnp.ndarray
+    tex_height: jnp.ndarray
+
+    @property
+    def n_planes(self) -> int:
+        return int(self.planes.u_len.shape[0])
+
+    @property
+    def n_spheres(self) -> int:
+        return int(self.spheres.radius.shape[0])
+
+    @property
+    def n_triangles(self) -> int:
+        return int(self.triangles.uv0[0].shape[0])
+
+    @property
+    def n_lights(self) -> int:
+        return int(self.lights.x.shape[0])
+
+    @property
+    def n_textures(self) -> int:
+        return int(self.tex_offset.shape[0])
+
+
+def _pad_to(n: int, multiple: int = 8) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+def _v3_table(vecs: List, pad: int, fill=(0.0, 0.0, 0.0)) -> V3:
+    arr = np.full((pad, 3), fill, dtype=np.float32)
+    for i, v in enumerate(vecs):
+        arr[i] = (v.x, v.y, v.z)
+    return V3(jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]))
+
+
+def _f32_table(vals: List[float], pad: int, fill=0.0) -> jnp.ndarray:
+    arr = np.full((pad,), fill, dtype=np.float32)
+    arr[: len(vals)] = vals
+    return jnp.asarray(arr)
+
+
+def collect_texture_paths(scene: Scene) -> List[str]:
+    """All distinct texture paths, sorted — the reference's stable-ID rule
+    (``cuda_texture_renderer.py:798-813``)."""
+    paths: List[str] = []
+    for obj in scene.objects:
+        mat = getattr(obj, "material", None)
+        if mat is not None and mat.texture is not None:
+            path = getattr(mat.texture, "path", None)
+            if path and path not in paths:
+                paths.append(path)
+    return sorted(paths)
+
+
+def compile_scene(
+    scene: Scene,
+    convention: str = "gpu",
+    gpu_parity: bool = True,
+    with_textures: bool = True,
+) -> CompiledScene:
+    """Lower a host ``Scene`` to the device SoA form.
+
+    ``convention`` selects the plane V-axis rule: ``"gpu"`` normalizes the
+    given ``v_dir`` (``cuda_renderer.py:336-341``); ``"cpu"`` derives
+    ``v = normal × u`` (``core/geometry.py:36``).  ``gpu_parity`` reproduces
+    the wire-format quirks of the reference GPU flatteners (see module doc).
+    """
+    planes = [o for o in scene.objects if isinstance(o, Plane)]
+    spheres = [o for o in scene.objects if isinstance(o, Sphere)]
+    tris = [o for o in scene.objects if isinstance(o, Triangle)]
+
+    texture_paths = collect_texture_paths(scene) if with_textures else []
+    tex_ids = {p: i for i, p in enumerate(texture_paths)}
+
+    p_pad, s_pad, t_pad = _pad_to(len(planes)), _pad_to(len(spheres)), _pad_to(len(tris))
+
+    # ---- geometry tables ---------------------------------------------------
+    plane_v_units = []
+    for pl in planes:
+        if convention == "gpu":
+            plane_v_units.append(pl.v_dir.normalize())
+        else:
+            plane_v_units.append(pl.normal.cross(pl.u_dir.normalize()).normalize())
+
+    planes_soa = PlanesSoA(
+        anchor=_v3_table([p.anchor for p in planes], p_pad),
+        normal=_v3_table([p.normal for p in planes], p_pad),  # zero normal = unhittable pad
+        u_unit=_v3_table([p.u_unit for p in planes], p_pad),
+        v_unit=_v3_table(plane_v_units, p_pad),
+        u_len=_f32_table([p.u_len for p in planes], p_pad, fill=1.0),
+        v_len=_f32_table([p.v_len for p in planes], p_pad, fill=1.0),
+    )
+    spheres_soa = SpheresSoA(
+        # zero radius at 1e9 → discriminant never strictly positive
+        center=_v3_table([s.center for s in spheres], s_pad, fill=(0.0, 0.0, 1e9)),
+        radius=_f32_table([s.radius for s in spheres], s_pad, fill=0.0),
+    )
+
+    def _uv_pair(uvs, default):
+        u = _f32_table([float(t[0]) if t is not None else default[0] for t in uvs], t_pad)
+        v = _f32_table([float(t[1]) if t is not None else default[1] for t in uvs], t_pad)
+        return (u, v)
+
+    tris_soa = TrianglesSoA(
+        v0=_v3_table([t.v0 for t in tris], t_pad),  # degenerate (all-zero) pad tri
+        v1=_v3_table([t.v1 for t in tris], t_pad),
+        v2=_v3_table([t.v2 for t in tris], t_pad),
+        normal=_v3_table([t.normal for t in tris], t_pad),
+        # Reference default UVs for missing vertex UVs: (0,0),(1,0),(1,1)
+        # (cuda_texture_renderer.py:869-874).
+        uv0=_uv_pair([t.uv0 for t in tris], (0.0, 0.0)),
+        uv1=_uv_pair([t.uv1 for t in tris], (1.0, 0.0)),
+        uv2=_uv_pair([t.uv2 for t in tris], (1.0, 1.0)),
+    )
+
+    # ---- unified material table (plane → sphere → triangle order) ----------
+    m_total = p_pad + s_pad + t_pad
+    color = np.zeros((m_total, 3), dtype=np.float32)
+    diffuse = np.zeros(m_total, dtype=np.float32)
+    specular = np.zeros(m_total, dtype=np.float32)
+    reflective = np.zeros(m_total, dtype=np.float32)
+    refractive = np.zeros(m_total, dtype=np.float32)
+    ior = np.ones(m_total, dtype=np.float32)
+    has_tex = np.zeros(m_total, dtype=np.float32)
+    tex_id = np.full(m_total, -1, dtype=np.int32)
+
+    def _fill(row: int, mat, allow_refraction: bool, allow_texture: bool):
+        color[row] = (mat.color.x, mat.color.y, mat.color.z)
+        diffuse[row] = mat.diffuse
+        specular[row] = mat.specular
+        reflective[row] = mat.reflective
+        refractive[row] = mat.refractive if allow_refraction else 0.0
+        ior[row] = mat.ior if allow_refraction else 1.0
+        if allow_texture and mat.texture is not None:
+            path = getattr(mat.texture, "path", None)
+            if path in tex_ids:
+                has_tex[row] = 1.0
+                tex_id[row] = tex_ids[path]
+
+    for i, p in enumerate(planes):
+        _fill(i, p.material, allow_refraction=not gpu_parity, allow_texture=not gpu_parity)
+    for i, s in enumerate(spheres):
+        _fill(p_pad + i, s.material, allow_refraction=True, allow_texture=not gpu_parity)
+    for i, t in enumerate(tris):
+        _fill(p_pad + s_pad + i, t.material, allow_refraction=not gpu_parity, allow_texture=True)
+
+    materials = MatSoA(
+        color=V3(jnp.asarray(color[:, 0]), jnp.asarray(color[:, 1]), jnp.asarray(color[:, 2])),
+        diffuse=jnp.asarray(diffuse),
+        specular=jnp.asarray(specular),
+        reflective=jnp.asarray(reflective),
+        refractive=jnp.asarray(refractive),
+        ior=jnp.asarray(ior),
+        has_tex=jnp.asarray(has_tex),
+        tex_id=jnp.asarray(tex_id),
+    )
+
+    # ---- lights & globals ----------------------------------------------------
+    n_lights = max(1, len(scene.lights))
+    lights = _v3_table(scene.lights, max(1, len(scene.lights)))
+    if not scene.lights:
+        lights = V3(lights.x[:0], lights.y[:0], lights.z[:0])  # truly empty
+        n_lights = 0
+
+    # ---- texture atlas ---------------------------------------------------------
+    atlas_r, atlas_g, atlas_b, offs, ws, hs = _build_atlas(texture_paths)
+
+    return CompiledScene(
+        planes=planes_soa,
+        spheres=spheres_soa,
+        triangles=tris_soa,
+        materials=materials,
+        lights=lights,
+        light_color=V3.of(scene.light_color.x, scene.light_color.y, scene.light_color.z),
+        ambient=V3.of(scene.ambient.x, scene.ambient.y, scene.ambient.z),
+        atlas_r=atlas_r,
+        atlas_g=atlas_g,
+        atlas_b=atlas_b,
+        tex_offset=offs,
+        tex_width=ws,
+        tex_height=hs,
+    )
+
+
+def _build_atlas(texture_paths: List[str]):
+    """Concatenate all textures row-major into one SoA atlas
+    (TPU analogue of ``cuda_texture_renderer.py:910-955``)."""
+    from PIL import Image
+
+    chunks = []
+    offs, ws, hs = [], [], []
+    offset = 0
+    for path in texture_paths:
+        try:
+            with Image.open(path) as img:
+                pixels = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            h, w = pixels.shape[:2]
+            chunks.append(pixels.reshape(-1, 3))
+            offs.append(offset)
+            ws.append(w)
+            hs.append(h)
+            offset += w * h
+        except Exception:
+            # Reference fallback: a 1×1 white texel (cuda_texture_renderer.py:948-953).
+            chunks.append(np.full((1, 3), 255, dtype=np.uint8))
+            offs.append(offset)
+            ws.append(1)
+            hs.append(1)
+            offset += 1
+
+    if chunks:
+        flat = np.concatenate(chunks, axis=0)
+    else:
+        flat = np.full((1, 3), 255, dtype=np.uint8)
+        offs, ws, hs = [0], [1], [1]
+
+    return (
+        jnp.asarray(flat[:, 0]),
+        jnp.asarray(flat[:, 1]),
+        jnp.asarray(flat[:, 2]),
+        jnp.asarray(np.asarray(offs, dtype=np.int32)),
+        jnp.asarray(np.asarray(ws, dtype=np.int32)),
+        jnp.asarray(np.asarray(hs, dtype=np.int32)),
+    )
+
+
+def pack_camera(camera: Camera) -> jnp.ndarray:
+    """Camera 12-float wire format (``cuda_renderer.py:655-662``)."""
+    return jnp.asarray(camera.packed())
+
+
+def scene_summary(cs: CompiledScene) -> dict:
+    """Structured counterpart of the reference's scene-flattening prints
+    (``cuda_renderer.py:595-651``)."""
+    return {
+        "planes": cs.n_planes,
+        "spheres": cs.n_spheres,
+        "triangles": cs.n_triangles,
+        "lights": cs.n_lights,
+        "textures": cs.n_textures,
+        "atlas_pixels": int(cs.atlas_r.shape[0]),
+    }

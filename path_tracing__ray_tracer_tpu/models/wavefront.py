@@ -1,0 +1,181 @@
+"""Shared wavefront render driver: chunking, jit caching, image assembly.
+
+The reference launches one CUDA megakernel over a pixel grid
+(``cuda_texture_renderer.py:769-773``); the TPU design instead streams the
+(pixel × sample) space through a jitted *chunk function* with static shapes:
+
+* pixels are processed in fixed-size chunks (``chunk_rays`` budget), so
+  arbitrarily large frames render in bounded device memory;
+* samples are split into groups (progressive accumulation comes free);
+* every chunk call has identical static shapes → exactly one XLA compilation
+  per (scene-shape, settings) pair, reused across chunks, frames and
+  progressive batches.
+
+Subclasses provide ``_chunk_fn`` returning per-pixel radiance *sums* over the
+group's samples; this driver accumulates into a float32 buffer, then the
+subclass finalizes (divide by spp, tonemap) and quantizes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler import CompiledScene, compile_scene, pack_camera, scene_summary
+from ..core.camera import Camera
+from ..core.scene import RenderSettings, Scene
+from ..ops.tonemap import quantize_u8
+from ..ops.v3 import V3
+from ..utils.image import assemble_image
+from ..utils.logging import log_event
+from ..utils.profiling import Timer, mrays_per_sec
+from .base import BaseRenderer
+
+
+def pixel_coords(pix0, n_pix: int, width: int, height: int):
+    """Flat pixel ids → (x, y measured from the bottom row).  Out-of-frame
+    lanes are clamped to the last pixel; the driver discards them on host."""
+    idx = pix0 + jnp.arange(n_pix, dtype=jnp.int32)
+    total = width * height
+    safe = jnp.minimum(idx, total - 1)
+    x = (safe % width).astype(jnp.float32)
+    y = (safe // width).astype(jnp.float32)
+    return idx, x, y
+
+
+class WavefrontRenderer(BaseRenderer):
+    convention = "gpu"
+    gpu_parity = True
+
+    def __init__(
+        self,
+        name: str,
+        chunk_rays: int = 1 << 20,
+        seed: int = 0,
+        faithful_jitter: bool = True,
+        mesh=None,
+    ):
+        super().__init__(name)
+        self.chunk_rays = int(chunk_rays)
+        self.seed = int(seed)
+        self.faithful_jitter = bool(faithful_jitter)
+        self.mesh = mesh
+        self._scene_cache: Dict[Tuple[int, str, bool], CompiledScene] = {}
+        self._jit_cache: Dict[Tuple, Callable] = {}
+        # progressive-accumulation hook (reference frame_count analogue,
+        # cuda_path_tracer.py:739)
+        self.frame_count = 0
+
+    # -- scene compilation (cached) -----------------------------------------
+    def compiled(self, scene: Scene) -> CompiledScene:
+        key = (id(scene), self.convention, self.gpu_parity)
+        if key not in self._scene_cache:
+            cs = compile_scene(
+                scene, convention=self.convention, gpu_parity=self.gpu_parity
+            )
+            self._scene_cache[key] = cs
+            log_event("scene_compiled", renderer=self.name, **scene_summary(cs))
+        return self._scene_cache[key]
+
+    # -- subclass contract ---------------------------------------------------
+    def _samples_per_group(self, spp: int) -> int:
+        """How many samples one chunk call integrates (whole grid for the
+        Whitted grid sampler, bounded groups for the path tracer)."""
+        raise NotImplementedError
+
+    def _make_chunk_fn(self, static_key: Tuple) -> Callable:
+        """Return jitted ``f(cs, cam12, pix0, seed, sample_base) -> (n_pix, 3)``
+        radiance sums for this group's samples."""
+        raise NotImplementedError
+
+    def _finalize(self, sums: np.ndarray, spp_total: int, settings: RenderSettings) -> np.ndarray:
+        """Radiance sums → display-ready [0,1] float image (pre-quantization)."""
+        raise NotImplementedError
+
+    # -- driver ---------------------------------------------------------------
+    def render_sums(
+        self,
+        scene: Scene,
+        camera: Camera,
+        settings: RenderSettings,
+        sample_offset: int = 0,
+        n_samples: Optional[int] = None,
+    ) -> np.ndarray:
+        """Accumulate radiance sums over ``n_samples`` samples starting at
+        ``sample_offset`` — the building block for both one-shot and
+        progressive rendering.  Returns float32 ``(H*W, 3)`` sums."""
+        cs = self.compiled(scene)
+        cam12 = pack_camera(camera)
+        w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+        if n_samples is None:
+            n_samples = spp
+
+        group = self._samples_per_group(spp)
+        n_pix = max(1024, min(w * h, max(1, self.chunk_rays // max(group, 1))))
+        # round chunk up to a lane-friendly multiple
+        n_pix = int(math.ceil(n_pix / 1024) * 1024)
+
+        static_key = (n_pix, w, h, spp, settings.max_depth, group, self.faithful_jitter)
+        if static_key not in self._jit_cache:
+            self._jit_cache[static_key] = self._make_chunk_fn(static_key)
+        chunk_fn = self._jit_cache[static_key]
+
+        log_event(
+            "render_start",
+            renderer=self.name,
+            width=w,
+            height=h,
+            spp=n_samples,
+            max_depth=settings.max_depth,
+            chunk_pixels=n_pix,
+            sample_group=group,
+            chunks=-(-w * h // n_pix),
+        )
+
+        sums = np.zeros((w * h, 3), dtype=np.float32)
+        for pix0 in range(0, w * h, n_pix):
+            chunk_sum = None
+            for s0 in range(sample_offset, sample_offset + n_samples, group):
+                out = chunk_fn(
+                    cs,
+                    cam12,
+                    jnp.int32(pix0),
+                    jnp.uint32(self.seed),
+                    jnp.int32(s0),
+                )
+                chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
+            block = np.asarray(chunk_sum.to_array())
+            take = min(n_pix, w * h - pix0)
+            sums[pix0 : pix0 + take] += block[:take]
+        return sums
+
+    def render_array(self, scene: Scene, camera: Camera, settings: RenderSettings) -> np.ndarray:
+        """Float image in [0,1], shape (H*W, 3), bottom-up row order."""
+        sums = self.render_sums(scene, camera, settings)
+        return self._finalize(sums, settings.samples_per_pixel, settings)
+
+    def render(self, scene: Scene, camera: Camera, settings: RenderSettings):
+        with Timer() as t:
+            img = self.render_array(scene, camera, settings)
+            rgb = quantize_u8(V3.from_array(jnp.asarray(img)))
+            arr = np.asarray(rgb.to_array())
+        self.frame_count += 1
+        log_event(
+            "render_done",
+            renderer=self.name,
+            seconds=round(t.seconds, 3),
+            mrays_per_sec=round(
+                mrays_per_sec(
+                    settings.width,
+                    settings.height,
+                    settings.samples_per_pixel,
+                    settings.max_depth,
+                    t.seconds,
+                ),
+                2,
+            ),
+        )
+        return assemble_image(arr, settings.width, settings.height)
