@@ -1,0 +1,87 @@
+"""Benchmark: Cornell-box path tracing throughput on the current backend.
+
+Prints exactly ONE JSON line on stdout:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``.
+
+Metric: Mrays/sec by the reference's own formula (``main.py:104-108``:
+``W·H·spp·depth / seconds``).  Baseline 136 Mrays/sec is the reference's
+derived hero-render throughput on an RTX 2070 Super (BASELINE.md).  Warm-up
+batch excluded (jit compile); the measured phase renders BATCHES sample
+groups of the 1024×1024 Cornell box at depth 8.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_MRAYS = 136.0  # RTX 2070 Super, derived in BASELINE.md
+
+WIDTH = HEIGHT = 1024
+DEPTH = 8
+GROUP_SPP = 16
+BATCHES = 4
+
+
+def main() -> int:
+    t_setup = time.time()
+    import jax
+
+    import path_tracing__ray_tracer_tpu as ptrt
+
+    builder = ptrt.CustomSceneBuilder()
+    scene = builder.build_scene()
+    camera = builder.create_camera(WIDTH / HEIGHT)
+    settings = ptrt.RenderSettings(
+        width=WIDTH, height=HEIGHT, samples_per_pixel=GROUP_SPP, max_depth=DEPTH
+    )
+    renderer = ptrt.RendererFactory.create(
+        "tpu_path_raytracer", sample_group=GROUP_SPP, chunk_rays=1 << 21
+    )
+
+    platform = jax.devices()[0].platform
+    print(f"bench: platform={platform} devices={len(jax.devices())}", file=sys.stderr)
+
+    # warm-up (compile + first run)
+    t0 = time.time()
+    renderer.render_sums(scene, camera, settings, sample_offset=0, n_samples=GROUP_SPP)
+    warmup_s = time.time() - t0
+    print(f"bench: warmup {warmup_s:.1f}s (compile included)", file=sys.stderr)
+
+    # measured phase
+    t0 = time.time()
+    for b in range(1, BATCHES + 1):
+        renderer.render_sums(
+            scene, camera, settings,
+            sample_offset=b * GROUP_SPP, n_samples=GROUP_SPP,
+        )
+    elapsed = time.time() - t0
+
+    spp_measured = BATCHES * GROUP_SPP
+    total_rays = WIDTH * HEIGHT * spp_measured * DEPTH
+    mrays = total_rays / elapsed / 1e6
+    spp_per_min = spp_measured / elapsed * 60.0
+
+    result = {
+        "metric": "cornell_path_trace_mrays_per_sec",
+        "value": round(mrays, 2),
+        "unit": "Mrays/sec",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "detail": {
+            "resolution": f"{WIDTH}x{HEIGHT}",
+            "depth": DEPTH,
+            "spp_measured": spp_measured,
+            "seconds": round(elapsed, 3),
+            "spp_per_min_1024sq": round(spp_per_min, 1),
+            "est_seconds_1024spp": round(1024 / spp_measured * elapsed, 1),
+            "platform": platform,
+            "warmup_seconds": round(warmup_s, 1),
+            "setup_seconds": round(time.time() - t_setup - elapsed - warmup_s, 1),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""CLI driver — flag-compatible with the reference ``main.py:24-46``.
+
+Same flags, defaults and behaviors (path-sample override, capability listing,
+Mrays/sec report); the renderer default maps the reference's
+``cuda_texture_raytracer`` onto its TPU equivalent, and the reference's
+``cuda_*`` names are accepted as aliases.  Extra TPU-specific flags are
+additive: ``--seed``, ``--chunk-rays``, ``--progressive``, ``--checkpoint``,
+``--devices``, ``--trace-dir``, ``--no-show``.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from path_tracing__ray_tracer_tpu.core.scene import RenderSettings
+from path_tracing__ray_tracer_tpu.models.base import RendererFactory
+from path_tracing__ray_tracer_tpu.scene_builders.custom_scene_builder import (
+    CustomSceneBuilder,
+)
+from path_tracing__ray_tracer_tpu.utils.logging import log_event
+from path_tracing__ray_tracer_tpu.utils.profiling import maybe_trace
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native modular ray tracer with path tracing"
+    )
+    parser.add_argument(
+        "--renderer",
+        "-r",
+        choices=RendererFactory.list_available(),
+        default="tpu_texture_raytracer",
+        help="renderer to use (reference cuda_* names are aliases)",
+    )
+    parser.add_argument(
+        "--scene",
+        choices=["original", "custom"],
+        default="custom",
+        help="scene selection (parity: only the custom Cornell box is built)",
+    )
+    parser.add_argument("--width", "-w", type=int, default=2000, help="image width")
+    parser.add_argument("--height", type=int, default=1500, help="image height")
+    parser.add_argument("--samples", "-s", type=int, default=25, help="samples per pixel")
+    parser.add_argument("--depth", "-d", type=int, default=16, help="max bounce depth")
+    parser.add_argument("--output", "-o", default="output.png", help="output file")
+    parser.add_argument(
+        "--path-samples",
+        type=int,
+        default=1024,
+        help="samples per pixel for the path tracer",
+    )
+    # ---- TPU-framework additions ------------------------------------------
+    parser.add_argument("--seed", type=int, default=0, help="RNG seed")
+    parser.add_argument(
+        "--chunk-rays",
+        type=int,
+        default=1 << 20,
+        help="ray-batch budget per device step",
+    )
+    parser.add_argument(
+        "--progressive",
+        type=int,
+        default=0,
+        metavar="BATCH_SPP",
+        help="render in progressive batches of this many spp (0 = one shot)",
+    )
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="accumulation checkpoint path for progressive renders (.npz)",
+    )
+    parser.add_argument(
+        "--devices",
+        type=int,
+        default=0,
+        help="shard the render across this many devices (0 = single device)",
+    )
+    parser.add_argument("--trace-dir", default=None, help="jax.profiler trace output dir")
+    parser.add_argument("--no-show", action="store_true", help="do not open a viewer")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.renderer in ("tpu_path_raytracer", "cuda_path_raytracer"):
+        effective_samples = args.path_samples
+        print(f"Path tracer mode: {effective_samples} spp")
+    else:
+        effective_samples = args.samples
+        print(f"Ray tracer mode: {effective_samples} spp")
+
+    settings = RenderSettings(
+        width=args.width,
+        height=args.height,
+        samples_per_pixel=effective_samples,
+        max_depth=args.depth,
+    )
+
+    print(f"Building scene: {args.scene}")
+    builder = CustomSceneBuilder()
+    scene = builder.build_scene()
+    camera = builder.create_camera(args.width / args.height)
+
+    print(f"Creating renderer: {args.renderer}")
+    kwargs = {"chunk_rays": args.chunk_rays, "seed": args.seed}
+    if args.devices:
+        from path_tracing__ray_tracer_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(args.devices)
+    renderer = RendererFactory.create(args.renderer, **kwargs)
+    print(f"Capabilities: {', '.join(renderer.get_capabilities())}")
+
+    start = time.time()
+    with maybe_trace(args.trace_dir):
+        if args.progressive:
+            from path_tracing__ray_tracer_tpu.parallel.progressive import (
+                render_progressive,
+            )
+
+            image = render_progressive(
+                renderer,
+                scene,
+                camera,
+                settings,
+                batch_spp=args.progressive,
+                checkpoint_path=args.checkpoint,
+            )
+        else:
+            image = renderer.render(scene, camera, settings)
+    elapsed = time.time() - start
+
+    image.save(args.output)
+    print(f"Saved: {args.output}")
+    minutes, seconds = int(elapsed // 60), elapsed % 60
+    print(f"Total time: {minutes}m {seconds:.2f}s")
+
+    if args.renderer in ("tpu_path_raytracer", "cuda_path_raytracer"):
+        total_rays = args.width * args.height * effective_samples * args.depth
+        print(
+            f"Throughput: {total_rays / elapsed / 1e6:.2f}M rays/sec "
+            f"({total_rays / 1e6:.1f}M rays total)"
+        )
+    log_event(
+        "cli_done",
+        renderer=args.renderer,
+        output=args.output,
+        seconds=round(elapsed, 3),
+    )
+
+    if not args.no_show:
+        try:
+            image.show()
+        except Exception:
+            print("Viewer unavailable")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

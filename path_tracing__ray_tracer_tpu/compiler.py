@@ -108,7 +108,13 @@ class CompiledScene(NamedTuple):
         return int(self.tex_offset.shape[0])
 
 
-def _pad_to(n: int, multiple: int = 8) -> int:
+def _pad_to(n: int, multiple: int = 1) -> int:
+    """Pad a primitive count (minimum 1 so gathers stay well-defined).
+
+    Counts are per-type loop bounds, not lane dimensions — the lanes are the
+    rays — so no hardware alignment is needed and padding is pure waste;
+    ``multiple`` exists for jit-cache reuse across similar scenes.
+    """
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
 

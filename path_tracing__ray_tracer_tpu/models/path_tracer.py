@@ -1,0 +1,296 @@
+"""Wavefront Monte-Carlo path tracer — TPU equivalent of the reference's
+``cuda_path_raytracer`` (``renderers/cuda_path_tracer.py``): global
+illumination with next-event estimation, Russian roulette, a stochastic
+three-event glass model, and ACES tonemapping.
+
+The per-thread path loop becomes a masked ``lax.while_loop`` over the SoA ray
+batch.  Every data-dependent branch of the reference kernel (hit/miss,
+material class, TIR, RR kill, event choice) is a lane-wise select; randomness
+is a pure function of (seed, pixel, sample, depth, use) via the counter RNG,
+so progressive batches and sharded renders are reproducible by construction.
+
+Reproduced stylized-physics details (SURVEY.md §2 quirks 6–7, §7):
+
+* NEE at every bounce for every material class, shadow rays with
+  ``t_max = 1e6`` (an occluder *beyond* the light still shadows,
+  ``cuda_path_tracer.py:275-277``);
+* light pdf ``1/num_lights`` with material-class intensity constants
+  (refractive 4.0×0.6 / reflective 2.5×0.8 / diffuse 2.0×1.0, ``:285-296``);
+* Russian roulette from depth ≥ 3 with Rec.601-luma survival (``:307-314``);
+* glass = 60/25/15 refract/reflect/diffuse event mixture with pdf-corrected
+  throughput (``:320-428``); fixed Fresnel probabilities, as in the reference
+  (its Schlick helper is defined but never called, ``:135-136``);
+* constant 0.1 sky on miss (``:234-239``), throughput cutoff 1e-3 (``:468``);
+* ACES fit on the spp-averaged radiance, then truncate-quantize (``:52-58``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rng
+from ..ops.camera import generate_rays
+from ..ops.intersect import gather_material, scene_hit, scene_hit_any
+from ..ops.sampling import cosine_hemisphere, pick_light
+from ..ops.texture import resolve_base_color
+from ..ops.tonemap import aces
+from ..ops.v3 import V3, refract
+from .base import RendererFactory
+from .wavefront import WavefrontRenderer, pixel_coords
+
+_T_MIN = 1e-3
+_T_MAX = 1e6
+_EPS_OFFSET = 1e-3
+_SKY = 0.1
+
+# RNG "use" slots per bounce
+_U_LIGHT, _U_RR, _U_EVENT, _U_HEMI1, _U_HEMI2 = 0, 1, 2, 3, 4
+# jitter slots live at depth == max_depth (outside the bounce counter range)
+_U_JITX, _U_JITY = 0, 1
+
+# glass event mixture (cuda_path_tracer.py:323-326)
+_P_REFRACT, _P_REFLECT, _P_DIFFUSE = 0.6, 0.25, 0.15
+
+
+def _zero(shape):
+    return V3.full(0.0, shape)
+
+
+def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
+    """Trace one batch of camera rays to completion (one radiance sample)."""
+    n = org.x.shape
+    has_lights = cs.n_lights > 0
+
+    def cond(state):
+        depth, *_rest, active = state
+        return (depth < max_depth) & jnp.any(active)
+
+    def body(state):
+        depth, o, d, thr, color, active = state
+        hit = scene_hit(cs, o, d, _T_MIN, _T_MAX)
+
+        # ---- miss: constant sky, lane dies ---------------------------------
+        miss = active & ~hit.hit
+        color = color + V3.where(miss, thr * _SKY, _zero(n))
+        live = active & hit.hit
+
+        mats = gather_material(cs.materials, hit.prim)
+        (mcolor, diffuse, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
+        base = resolve_base_color(cs, mcolor, has_tex, tex_id, hit.u, hit.v)
+        normal = hit.normal
+        point = hit.point
+        above = point + normal * _EPS_OFFSET
+
+        # ---- next-event estimation (every bounce, every material) ----------
+        if has_lights:
+            r_light = rng.uniform(key, depth, _U_LIGHT)
+            ldir, _dist, pdf = pick_light(cs, point, r_light)
+            occluded = scene_hit_any(cs, above, ldir, _T_MIN, _T_MAX)  # quirk: 1e6, not dist
+            cos_theta = jnp.maximum(ldir.dot(normal), 0.0)
+
+            is_glass_cls = refractive > 0.5
+            is_mirror_cls = reflective > 0.7
+            intensity = jnp.where(is_glass_cls, 4.0, jnp.where(is_mirror_cls, 2.5, 2.0))
+            multiplier = jnp.where(is_glass_cls, 0.6, jnp.where(is_mirror_cls, 0.8, 1.0))
+
+            scale = diffuse * cos_theta * intensity * multiplier / pdf
+            contrib = base * scale
+            lit = live & ~occluded
+            color = color + V3.where(lit, thr * contrib, _zero(n))
+
+        # ---- Russian roulette from depth >= 3 -------------------------------
+        survival = jnp.maximum(0.1, thr.luminance())
+        rr_on = depth >= 3
+        killed = rr_on & (rng.uniform(key, depth, _U_RR) > survival)
+        thr = V3.where(live & rr_on & ~killed, thr * (1.0 / survival), thr)
+        live = live & ~killed
+
+        # ---- scatter event ----------------------------------------------------
+        choice = rng.uniform(key, depth, _U_EVENT)
+        r1 = rng.uniform(key, depth, _U_HEMI1)
+        r2 = rng.uniform(key, depth, _U_HEMI2)
+
+        refl_dir = d.reflect(normal)
+        refl_org = above
+        hemi_dir = cosine_hemisphere(normal, r1, r2)
+
+        # glass refraction event (cuda_path_tracer.py:328-388)
+        cos_i = jnp.maximum(0.0, -d.dot(normal))
+        entering = cos_i > 0.0
+        eta = jnp.where(entering, 1.0 / ior, ior)
+        outward = V3.where(entering, normal, -normal)
+        refr_ok, refr_dir = refract(d, outward, eta)
+        refr_org = V3.where(entering, point - normal * _EPS_OFFSET, above)
+
+        glass = refractive > 0.1
+        mirror = ~glass & (reflective > 0.5)
+        lambertian = ~glass & ~mirror
+
+        ev_refract = glass & (choice < _P_REFRACT)
+        ev_reflect = glass & (choice >= _P_REFRACT) & (choice < _P_REFRACT + _P_REFLECT)
+        ev_diffuse = glass & (choice >= _P_REFRACT + _P_REFLECT)
+
+        # new direction / origin per lane
+        new_d = V3.where(
+            ev_refract,
+            V3.where(refr_ok, refr_dir, refl_dir),  # TIR falls back to mirror
+            V3.where(ev_reflect | mirror, refl_dir, hemi_dir),
+        )
+        new_o = V3.where(
+            ev_refract,
+            V3.where(refr_ok, refr_org, refl_org),
+            refl_org,  # reflect/diffuse/mirror/lambertian all offset along +n
+        )
+
+        # throughput update per event (pdf-corrected, reference constants)
+        ones = V3.full(1.0, n)
+        thr_refract = V3.where(
+            refr_ok,
+            ones * (refractive / _P_REFRACT),
+            ones * 0.9,  # TIR: flat 0.9 (cuda_path_tracer.py:386-388)
+        )
+        thr_reflect = base * (0.9 / _P_REFLECT)
+        thr_diffuse_g = base * (diffuse * 3.0 / _P_DIFFUSE)
+        thr_mirror = base * reflective
+        thr_lambert = base * diffuse
+
+        mult = V3.where(
+            ev_refract,
+            thr_refract,
+            V3.where(
+                ev_reflect,
+                thr_reflect,
+                V3.where(
+                    ev_diffuse,
+                    thr_diffuse_g,
+                    V3.where(mirror, thr_mirror, thr_lambert),
+                ),
+            ),
+        )
+        thr = V3.where(live, thr * mult, thr)
+
+        # throughput cutoff (cuda_path_tracer.py:468)
+        live = live & (thr.max_component() >= 0.001)
+
+        o = V3.where(live, new_o, o)
+        d = V3.where(live, new_d, d)
+        return depth + 1, o, d, thr, color, live
+
+    init = (
+        jnp.int32(0),
+        org,
+        rd,
+        V3.full(1.0, n),
+        _zero(n),
+        jnp.ones(n, dtype=bool),
+    )
+    *_s, color, _a = jax.lax.while_loop(cond, body, init)
+    return color
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_pix", "width", "height", "n_samples", "max_depth", "jitter"),
+)
+def _path_chunk(
+    cs,
+    cam12,
+    pix0,
+    seed,
+    sample_base,
+    *,
+    n_pix: int,
+    width: int,
+    height: int,
+    n_samples: int,
+    max_depth: int,
+    jitter: str,
+):
+    """Radiance sums over ``n_samples`` independent samples for one pixel chunk.
+
+    Per-sample pixel jitter is uniform (``cuda_path_tracer.py:34-36``); in
+    ``faithful`` mode the x and y jitters share one draw (the reference reads
+    the unadvanced RNG state twice — SURVEY.md §2 quirk 2).
+    """
+    idx, x, y = pixel_coords(pix0, n_pix, width, height)
+
+    def sample_body(s, acc):
+        key = rng.ray_key(seed, idx, sample_base + s)
+        if jitter == "center":
+            r1 = r2 = jnp.float32(0.5)
+        else:
+            r1 = rng.uniform(key, max_depth, _U_JITX)
+            r2 = r1 if jitter == "diagonal" else rng.uniform(key, max_depth, _U_JITY)
+        u = (x + r1) / width
+        v = (y + r2) / height
+        o, d = generate_rays(cam12, u, v)
+        return acc + path_radiance(cs, o, d, key, max_depth)
+
+    return jax.lax.fori_loop(0, n_samples, sample_body, V3.full(0.0, (n_pix,)))
+
+
+class TPUPathTracer(WavefrontRenderer):
+    """Parity renderer for ``cuda_path_raytracer`` — the flagship model."""
+
+    def __init__(self, sample_group: int = 32, jitter: str = "independent", **kw):
+        # independent x/y jitter by default: strictly better sampling, and the
+        # reference hero image is a missing blob so there is no RMSE target
+        # (BASELINE.md); pass jitter="diagonal" for the quirk-exact stream.
+        super().__init__("tpu_path_raytracer", jitter=jitter, **kw)
+        self.sample_group = int(sample_group)
+
+    def get_capabilities(self) -> List[str]:
+        return [
+            "path_tracing",
+            "global_illumination",
+            "monte_carlo",
+            "next_event_estimation",
+            "russian_roulette",
+            "soft_shadows",
+            "caustics",
+            "reflection",
+            "refraction",
+            "textures",
+            "aces_tonemapping",
+            "tpu_acceleration",
+            "progressive_rendering",
+            "xla_compute",
+        ]
+
+    def _samples_per_group(self, spp: int) -> int:
+        return max(1, min(self.sample_group, spp))
+
+    def _make_chunk_fn(self, static_key):
+        n_pix, w, h, _spp, max_depth, group, jitter = static_key
+        return partial(
+            _path_chunk,
+            n_pix=n_pix,
+            width=w,
+            height=h,
+            n_samples=group,
+            max_depth=max_depth,
+            jitter=jitter,
+        )
+
+    def render_sums(self, scene, camera, settings, sample_offset=0, n_samples=None):
+        spp = settings.samples_per_pixel if n_samples is None else n_samples
+        group = self._samples_per_group(settings.samples_per_pixel)
+        if spp % group != 0:
+            # keep groups uniform so there is exactly one compiled chunk fn
+            group = next(g for g in range(min(group, spp), 0, -1) if spp % g == 0)
+            self.sample_group = group
+        return super().render_sums(
+            scene, camera, settings, sample_offset=sample_offset, n_samples=spp
+        )
+
+    def _finalize(self, sums: np.ndarray, spp_total: int, settings) -> np.ndarray:
+        mean = jnp.asarray(sums) / float(spp_total)
+        return np.asarray(aces(mean))
+
+
+RendererFactory.register("tpu_path_raytracer", TPUPathTracer)
+RendererFactory.register_alias("cuda_path_raytracer", "tpu_path_raytracer")

@@ -55,13 +55,14 @@ class WavefrontRenderer(BaseRenderer):
         name: str,
         chunk_rays: int = 1 << 20,
         seed: int = 0,
-        faithful_jitter: bool = True,
+        jitter: str = "diagonal",  # 'diagonal' (reference quirk) | 'independent' | 'center'
         mesh=None,
     ):
         super().__init__(name)
         self.chunk_rays = int(chunk_rays)
         self.seed = int(seed)
-        self.faithful_jitter = bool(faithful_jitter)
+        assert jitter in ("diagonal", "independent", "center"), jitter
+        self.jitter = jitter
         self.mesh = mesh
         self._scene_cache: Dict[Tuple[int, str, bool], CompiledScene] = {}
         self._jit_cache: Dict[Tuple, Callable] = {}
@@ -95,6 +96,44 @@ class WavefrontRenderer(BaseRenderer):
         """Radiance sums → display-ready [0,1] float image (pre-quantization)."""
         raise NotImplementedError
 
+    # -- chunk-plan construction (single device or mesh) ----------------------
+    def _plan(self, w: int, h: int, spp: int, max_depth: int):
+        """Choose chunk geometry and build (or fetch) the chunk callable.
+
+        Returns ``(chunk_fn, n_pix, group)`` where ``chunk_fn`` produces sums
+        over ``group`` samples for ``n_pix`` pixels.  With a mesh attached the
+        pixel chunk is split over the ``tile`` axis and the sample group over
+        the ``sample`` axis (partials psum-reduced) — same compiled kernel per
+        device as the single-chip path.
+        """
+        group = self._samples_per_group(spp)
+        n_pix = max(1024, min(w * h, max(1, self.chunk_rays // max(group, 1))))
+        n_pix = int(math.ceil(n_pix / 1024) * 1024)
+
+        if self.mesh is None:
+            static_key = (n_pix, w, h, spp, max_depth, group, self.jitter)
+            if static_key not in self._jit_cache:
+                self._jit_cache[static_key] = self._make_chunk_fn(static_key)
+            return self._jit_cache[static_key], n_pix, group
+
+        from ..parallel.mesh import mesh_shape
+        from ..parallel.sharding import shard_chunk_fn
+
+        tile, samp = mesh_shape(self.mesh)
+        local_samples = max(1, -(-group // samp))  # ceil; chunk fns mask overshoot
+        n_pix = int(math.ceil(n_pix / (tile * 1024)) * tile * 1024)
+        local_pix = n_pix // tile
+        cache_key = (local_pix, w, h, spp, max_depth, local_samples,
+                     self.jitter, tile, samp)
+        if cache_key not in self._jit_cache:
+            inner = self._make_chunk_fn(
+                (local_pix, w, h, spp, max_depth, local_samples, self.jitter)
+            )
+            self._jit_cache[cache_key] = jax.jit(
+                shard_chunk_fn(inner, self.mesh, local_pix, local_samples)
+            )
+        return self._jit_cache[cache_key], n_pix, group
+
     # -- driver ---------------------------------------------------------------
     def render_sums(
         self,
@@ -113,15 +152,7 @@ class WavefrontRenderer(BaseRenderer):
         if n_samples is None:
             n_samples = spp
 
-        group = self._samples_per_group(spp)
-        n_pix = max(1024, min(w * h, max(1, self.chunk_rays // max(group, 1))))
-        # round chunk up to a lane-friendly multiple
-        n_pix = int(math.ceil(n_pix / 1024) * 1024)
-
-        static_key = (n_pix, w, h, spp, settings.max_depth, group, self.faithful_jitter)
-        if static_key not in self._jit_cache:
-            self._jit_cache[static_key] = self._make_chunk_fn(static_key)
-        chunk_fn = self._jit_cache[static_key]
+        chunk_fn, n_pix, group = self._plan(w, h, spp, settings.max_depth)
 
         log_event(
             "render_start",

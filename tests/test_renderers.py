@@ -1,0 +1,146 @@
+"""Renderer smoke, determinism, orientation, capability and quirk tests.
+
+Kept tiny (32×24-ish, low spp/depth) — compile time dominates on the CPU
+backend.
+"""
+import numpy as np
+import pytest
+
+import path_tracing__ray_tracer_tpu as ptrt
+
+SMALL = dict(width=32, height=24, samples_per_pixel=4, max_depth=2)
+
+ALL_RENDERERS = [
+    "cpu_raytracer",
+    "tpu_raytracer",
+    "tpu_texture_raytracer",
+    "tpu_path_raytracer",
+]
+
+
+@pytest.mark.parametrize("name", ALL_RENDERERS)
+def test_smoke_render(name, cornell):
+    scene, cam = cornell
+    r = ptrt.RendererFactory.create(name)
+    img = r.render(scene, cam, ptrt.RenderSettings(**SMALL))
+    a = np.asarray(img)
+    assert a.shape == (24, 32, 3)
+    assert a.dtype == np.uint8
+    assert a.mean() > 5.0, "image should not be black"
+    assert np.isfinite(a.astype(np.float64)).all()
+
+
+def test_reference_aliases_resolve():
+    for ref, ours in [
+        ("cuda_raytracer", "tpu_raytracer"),
+        ("cuda_texture_raytracer", "tpu_texture_raytracer"),
+        ("cuda_path_raytracer", "tpu_path_raytracer"),
+    ]:
+        assert ptrt.RendererFactory.create(ref).get_name() == ours
+    names = ptrt.RendererFactory.list_available()
+    for n in ALL_RENDERERS + ["cuda_raytracer", "cuda_texture_raytracer",
+                              "cuda_path_raytracer"]:
+        assert n in names
+
+
+def test_capability_contract():
+    r = ptrt.RendererFactory.create("tpu_texture_raytracer")
+    for feature in ("ray_tracing", "shadows", "reflection", "refraction", "textures"):
+        assert r.supports(feature)
+    assert not ptrt.RendererFactory.create("tpu_raytracer").supports("refraction")
+    assert ptrt.RendererFactory.create("tpu_path_raytracer").supports(
+        "global_illumination"
+    )
+
+
+def test_orientation_left_pink_right_blue(cornell):
+    """The final image is flipped to top-down rows; the hot-pink wall must be
+    on the left, the blue wall on the right (reference scene layout)."""
+    scene, cam = cornell
+    r = ptrt.RendererFactory.create("tpu_texture_raytracer")
+    a = np.asarray(r.render(scene, cam, ptrt.RenderSettings(**SMALL))).astype(float)
+    left = a[8:16, :6]
+    right = a[8:16, -6:]
+    assert left[..., 0].mean() > left[..., 2].mean(), "left wall should be pink (R>B)"
+    assert right[..., 2].mean() > right[..., 0].mean(), "right wall should be blue (B>R)"
+
+
+def test_deterministic_same_seed(cornell):
+    scene, cam = cornell
+    s = ptrt.RenderSettings(**SMALL)
+    a = np.asarray(ptrt.RendererFactory.create("tpu_path_raytracer", seed=5).render(scene, cam, s))
+    b = np.asarray(ptrt.RendererFactory.create("tpu_path_raytracer", seed=5).render(scene, cam, s))
+    c = np.asarray(ptrt.RendererFactory.create("tpu_path_raytracer", seed=6).render(scene, cam, s))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_grid_spp_quirk(cornell):
+    """Requesting spp=24 sums only 16 grid samples but divides by 24
+    (SURVEY.md §2 quirk 9) → image is ~2/3 the brightness of spp=16."""
+    scene, cam = cornell
+    r = ptrt.RendererFactory.create("tpu_texture_raytracer")
+    m16 = np.asarray(
+        r.render(scene, cam, ptrt.RenderSettings(32, 24, 16, 2))
+    ).astype(float).mean()
+    m24 = np.asarray(
+        r.render(scene, cam, ptrt.RenderSettings(32, 24, 24, 2))
+    ).astype(float).mean()
+    assert abs(m24 / m16 - 2 / 3) < 0.02
+
+
+def test_chunking_invariance(cornell):
+    """Different chunk_rays budgets must produce identical images."""
+    scene, cam = cornell
+    s = ptrt.RenderSettings(width=40, height=30, samples_per_pixel=4, max_depth=2)
+    big = ptrt.RendererFactory.create("tpu_path_raytracer", seed=2, chunk_rays=1 << 20)
+    small = ptrt.RendererFactory.create("tpu_path_raytracer", seed=2, chunk_rays=1 << 12)
+    a = big.render_array(scene, cam, s)
+    b = small.render_array(scene, cam, s)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_progressive_matches_oneshot(cornell, tmp_path):
+    from path_tracing__ray_tracer_tpu.parallel.progressive import render_progressive
+
+    scene, cam = cornell
+    s = ptrt.RenderSettings(width=32, height=24, samples_per_pixel=8, max_depth=2)
+
+    one = ptrt.RendererFactory.create("tpu_path_raytracer", seed=3, sample_group=4)
+    img_one = np.asarray(one.render(scene, cam, s))
+
+    prog = ptrt.RendererFactory.create("tpu_path_raytracer", seed=3, sample_group=4)
+    ckpt = str(tmp_path / "acc.npz")
+    img_prog = np.asarray(
+        render_progressive(prog, scene, cam, s, batch_spp=4, checkpoint_path=ckpt)
+    )
+    np.testing.assert_array_equal(img_one, img_prog)
+
+    # resume: a fresh renderer continuing from the checkpoint of a partial run
+    from path_tracing__ray_tracer_tpu.parallel import progressive as prog_mod
+
+    fp = prog_mod._fingerprint(s, 3)
+    sums, done = prog_mod.load_state(ckpt, fp)
+    assert done == 8 and sums is not None
+
+
+def test_progressive_resume_partial(cornell, tmp_path):
+    from path_tracing__ray_tracer_tpu.parallel import progressive as prog_mod
+
+    scene, cam = cornell
+    s = ptrt.RenderSettings(width=32, height=24, samples_per_pixel=8, max_depth=2)
+    r = ptrt.RendererFactory.create("tpu_path_raytracer", seed=3, sample_group=4)
+    ckpt = str(tmp_path / "acc.npz")
+
+    # simulate an interrupted run: 4 of 8 spp done, checkpointed
+    sums = r.render_sums(scene, cam, s, sample_offset=0, n_samples=4)
+    prog_mod.save_state(ckpt, sums, 4, prog_mod._fingerprint(s, 3))
+
+    img_resumed = np.asarray(
+        prog_mod.render_progressive(r, scene, cam, s, batch_spp=4, checkpoint_path=ckpt)
+    )
+    img_oneshot = np.asarray(
+        ptrt.RendererFactory.create("tpu_path_raytracer", seed=3, sample_group=4)
+        .render(scene, cam, s)
+    )
+    np.testing.assert_array_equal(img_resumed, img_oneshot)
