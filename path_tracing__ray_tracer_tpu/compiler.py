@@ -86,6 +86,7 @@ class CompiledScene(NamedTuple):
     tex_offset: jnp.ndarray  # (T,) int32, in pixels
     tex_width: jnp.ndarray
     tex_height: jnp.ndarray
+    bvh: object = None  # Optional[ops.bvh.FlatBVH] over triangles (big scenes)
 
     @property
     def n_planes(self) -> int:
@@ -106,6 +107,10 @@ class CompiledScene(NamedTuple):
     @property
     def n_textures(self) -> int:
         return int(self.tex_offset.shape[0])
+
+
+# triangle count above which compile_scene builds the flat BVH
+BVH_THRESHOLD = 256
 
 
 def _pad_to(n: int, multiple: int = 1) -> int:
@@ -257,7 +262,22 @@ def compile_scene(
     # ---- texture atlas ---------------------------------------------------------
     atlas_r, atlas_g, atlas_b, offs, ws, hs = _build_atlas(texture_paths)
 
+    # ---- acceleration structure -------------------------------------------------
+    # Brute-force broadcast beats tree walks below a few hundred primitives
+    # (every candidate is one fused VPU pass); beyond that, build the flat BVH.
+    flat_bvh = None
+    if len(tris) > BVH_THRESHOLD:
+        from .ops import bvh as bvh_mod
+
+        v0 = np.stack([np.asarray(t.v0.to_np()) for t in tris])
+        v1 = np.stack([np.asarray(t.v1.to_np()) for t in tris])
+        v2 = np.stack([np.asarray(t.v2.to_np()) for t in tris])
+        tri_min = np.minimum(np.minimum(v0, v1), v2)
+        tri_max = np.maximum(np.maximum(v0, v1), v2)
+        flat_bvh = bvh_mod.to_device(bvh_mod.build_bvh(tri_min, tri_max))
+
     return CompiledScene(
+        bvh=flat_bvh,
         planes=planes_soa,
         spheres=spheres_soa,
         triangles=tris_soa,

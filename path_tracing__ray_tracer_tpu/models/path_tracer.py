@@ -61,7 +61,17 @@ def _zero(shape):
 
 
 def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
-    """Trace one batch of camera rays to completion (one radiance sample)."""
+    """Trace one batch of camera rays to completion (one radiance sample).
+
+    On TPU (scene fits SMEM) the bounce body runs as one fused Pallas
+    megakernel; the pure-XLA wavefront below is the reference implementation
+    and the CPU/large-scene path.
+    """
+    from ..ops.intersect import _pallas_enabled
+
+    if _pallas_enabled(cs):
+        return _path_radiance_pallas(cs, org, rd, key, max_depth)
+
     n = org.x.shape
     has_lights = cs.n_lights > 0
 
@@ -186,6 +196,68 @@ def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
         rd,
         V3.full(1.0, n),
         _zero(n),
+        jnp.ones(n, dtype=bool),
+    )
+    *_s, color, _a = jax.lax.while_loop(cond, body, init)
+    return color
+
+
+def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
+    """Bounce loop around the fused Pallas megakernel.
+
+    The kernel returns multiplicative shading weights (the texture/base color
+    cannot be fetched in-kernel); this glue resolves the base color and
+    applies:  color += thr·(w_sky + base·w_nee);  thr *= rr·(s + base·t).
+    """
+    from ..ops.pallas.bounce_pallas import (
+        pack_light_blob,
+        pack_mat_blob,
+        path_bounce_pallas,
+    )
+    from ..ops.pallas.intersect_pallas import pack_scene_blob
+
+    blob = pack_scene_blob(cs)
+    mat_blob = pack_mat_blob(cs)
+    light_blob = pack_light_blob(cs)
+    n = org.x.shape
+    zero = _zero(n)
+
+    def cond(state):
+        depth, *_rest, active = state
+        return (depth < max_depth) & jnp.any(active)
+
+    def body(state):
+        depth, o, d, thr, color, active = state
+        out = path_bounce_pallas(
+            cs, blob, mat_blob, light_blob, o, d, thr, key, depth,
+            t_min=_T_MIN, t_max=_T_MAX,
+        )
+        base = resolve_base_color(
+            cs,
+            out.mat_color,
+            (out.tex_id >= 0.0).astype(jnp.float32),
+            out.tex_id.astype(jnp.int32),
+            out.u,
+            out.v,
+        )
+        contrib = thr * out.w_sky + thr * base * out.w_nee
+        color = color + V3.where(active, contrib, zero)
+
+        live = active & out.hit & ~out.killed
+        thr_new = thr * out.rr_scale * (base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr))
+        thr = V3.where(live, thr_new, thr)
+        live = live & (thr.max_component() >= 0.001)
+
+        o = V3.where(live, out.new_org, o)
+        d = V3.where(live, out.new_dir, d)
+        return depth + 1, o, d, thr, color, live
+
+    init = (
+        jnp.int32(0),
+        org,
+        rd,
+        V3.full(1.0, n),
+        zero,
         jnp.ones(n, dtype=bool),
     )
     *_s, color, _a = jax.lax.while_loop(cond, body, init)

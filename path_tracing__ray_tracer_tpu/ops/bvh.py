@@ -100,12 +100,33 @@ def _build_tree(tri_min, tri_max, centroids, idx, leaf_size) -> _Node:
     return _Node(lo, hi, left=left, right=right)
 
 
-def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = LEAF_SIZE):
+def build_bvh(
+    tri_min: np.ndarray,
+    tri_max: np.ndarray,
+    leaf_size: int = LEAF_SIZE,
+    use_native: bool = True,
+):
     """Binned-SAH BVH over triangle AABBs ``(T, 3)``.
 
-    Returns numpy arrays matching :class:`FlatBVH` fields (dict), so the C++
-    builder can produce the identical format.
+    Prefers the C++ builder (``native/bvh_builder.cpp``, same output format);
+    falls back to this module's numpy implementation.
     """
+    if use_native:
+        try:
+            from ..native import load_bvh_builder
+
+            native = load_bvh_builder()
+            if native is not None:
+                arrs = native(
+                    np.asarray(tri_min, np.float32),
+                    np.asarray(tri_max, np.float32),
+                    leaf_size,
+                )
+                if arrs is not None:
+                    return arrs
+        except Exception:
+            pass  # never let the fast path break a render
+
     import sys
 
     t = tri_min.shape[0]

@@ -129,6 +129,27 @@ def _triangle_candidate(cs: CompiledScene, i, ro: V3, rd: V3, t_min, best_t):
 BROADCAST_LIMIT = 512
 UNROLL_LIMIT = 0  # sequential unrolling disabled (kept for experiments)
 
+# Pallas kernel switch: None = auto (TPU backend + scene fits SMEM),
+# True/False = force.  The fused kernels keep the primitive sweep entirely
+# in-core; the XLA broadcast path materializes (N, P) candidates to HBM when
+# the surrounding loop body exceeds the fusion budget (measured 23 Mrays/s
+# HBM-bound vs in-core kernels).
+USE_PALLAS = None
+
+
+def _pallas_enabled(cs) -> bool:
+    if USE_PALLAS is not None:
+        return bool(USE_PALLAS)
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    if backend != "tpu":
+        return False
+    from .pallas.intersect_pallas import fits_smem
+
+    return fits_smem(cs)
+
 
 def _sweep(candidate_fn, cs, count, offset, ro, rd, t_min, best_t, best_idx):
     """Run one primitive type's loop, updating the (best_t, best_idx) carry."""
@@ -152,7 +173,8 @@ def _lift(v: V3) -> V3:
 _ALL = slice(None)  # candidate fns take either a scalar index or the full table
 
 
-def _closest_broadcast(cs: CompiledScene, ro: V3, rd: V3, t_min, t_max):
+def _closest_broadcast(cs: CompiledScene, ro: V3, rd: V3, t_min, t_max,
+                       include_tris: bool = True):
     """All-pairs candidates + first-occurrence argmin (type order preserved:
     planes, spheres, triangles — ties resolve exactly like the reference's
     sequential strict-< scan)."""
@@ -163,15 +185,11 @@ def _closest_broadcast(cs: CompiledScene, ro: V3, rd: V3, t_min, t_max):
     inf = jnp.float32(jnp.inf)
     vp, tp = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
     vs, ts = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
-    vt, tt = _triangle_candidate(cs, _ALL, ro1, rd1, t_min, bound)
-    t_all = jnp.concatenate(
-        [
-            jnp.where(vp, tp, inf),
-            jnp.where(vs, ts, inf),
-            jnp.where(vt, tt, inf),
-        ],
-        axis=1,
-    )
+    parts = [jnp.where(vp, tp, inf), jnp.where(vs, ts, inf)]
+    if include_tris:
+        vt, tt = _triangle_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        parts.append(jnp.where(vt, tt, inf))
+    t_all = jnp.concatenate(parts, axis=1)
     best_idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
     best_t = jnp.take_along_axis(t_all, best_idx[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(best_t)
@@ -187,7 +205,31 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     n = ro.x.shape
     P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
 
-    if P + S + T <= BROADCAST_LIMIT:
+    if _pallas_enabled(cs) and isinstance(t_max, (int, float)):
+        from .pallas.intersect_pallas import closest_hit_pallas, pack_scene_blob
+
+        blob = pack_scene_blob(cs)
+        t, idx, nx, ny, nz, u, v = closest_hit_pallas(cs, blob, ro, rd, t_min, t_max)
+        hit = idx >= 0
+        point = ro + rd * t
+        normal = V3.where(hit, V3(nx, ny, nz), V3.of(0.0, 1.0, 0.0))
+        return SceneHit(hit=hit, t=t, point=point, normal=normal, u=u, v=v, prim=idx)
+
+    if cs.bvh is not None:
+        from .bvh import traverse_closest
+
+        ps_idx, ps_t, ps_hit = _closest_broadcast(
+            cs, ro, rd, t_min, t_max, include_tris=False
+        )
+        tri_t, tri_idx = traverse_closest(
+            cs.bvh, cs.triangles, ro, rd, t_min, t_max, tri_offset=P + S
+        )
+        tri_hit = tri_idx >= 0
+        tri_wins = tri_hit & (~ps_hit | (tri_t < ps_t))
+        best_idx = jnp.where(tri_wins, tri_idx, ps_idx)
+        best_t = jnp.where(tri_wins, tri_t, ps_t)
+        hit = ps_hit | tri_hit
+    elif P + S + T <= BROADCAST_LIMIT:
         best_idx, best_t, hit = _closest_broadcast(cs, ro, rd, t_min, t_max)
     else:
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
@@ -257,6 +299,21 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
     n = ro.x.shape
     limit = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
     P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
+
+    if _pallas_enabled(cs):
+        from .pallas.intersect_pallas import any_hit_pallas, pack_scene_blob
+
+        return any_hit_pallas(cs, pack_scene_blob(cs), ro, rd, t_min, limit)
+
+    if cs.bvh is not None:
+        from .bvh import traverse_any
+
+        ro1, rd1 = _lift(ro), _lift(rd)
+        bound = limit[:, None]
+        vp, _ = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        vs, _ = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        ps_any = jnp.any(vp, axis=1) | jnp.any(vs, axis=1)
+        return ps_any | traverse_any(cs.bvh, cs.triangles, ro, rd, t_min, limit)
 
     if P + S + T <= BROADCAST_LIMIT:
         ro1, rd1 = _lift(ro), _lift(rd)
