@@ -25,7 +25,19 @@ BATCHES = 4
 
 def main() -> int:
     t_setup = time.time()
+    import os
+
+    # persistent XLA compilation cache: the megakernel's Mosaic compile can
+    # take minutes on the remote-compile service; cache hits make warmup ~free
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import path_tracing__ray_tracer_tpu as ptrt
 

@@ -35,9 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--scene",
-        choices=["original", "custom"],
+        choices=["original", "custom", "mesh"],
         default="custom",
-        help="scene selection (parity: only the custom Cornell box is built)",
+        help=(
+            "scene selection ('original' is accepted-but-ignored for flag "
+            "parity with the reference; 'mesh' is the BVH-stress icosphere "
+            "scene)"
+        ),
     )
     parser.add_argument("--width", "-w", type=int, default=2000, help="image width")
     parser.add_argument("--height", type=int, default=1500, help="image height")
@@ -98,8 +102,20 @@ def main(argv=None) -> int:
         max_depth=args.depth,
     )
 
+    from path_tracing__ray_tracer_tpu.utils.backend import probe_backend
+
+    platform = probe_backend()
+    print(f"Backend: {platform}")
+
     print(f"Building scene: {args.scene}")
-    builder = CustomSceneBuilder()
+    if args.scene == "mesh":
+        from path_tracing__ray_tracer_tpu.scene_builders.mesh_scene_builder import (
+            MeshSceneBuilder,
+        )
+
+        builder = MeshSceneBuilder()
+    else:
+        builder = CustomSceneBuilder()
     scene = builder.build_scene()
     camera = builder.create_camera(args.width / args.height)
 

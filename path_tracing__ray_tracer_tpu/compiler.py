@@ -13,9 +13,10 @@ pass consumes.  Differences from the reference wire format, by design:
 * Primitive counts are padded up to a lane-friendly multiple with
   *unhittable* sentinel primitives (zero normal / zero radius at 1e9 /
   degenerate triangle), so no validity masks are needed in the hot loop.
-* The texture atlas is split into three uint8 channel planes (SoA again)
-  plus an ``[offset, width, height]`` info table, path-sorted for stable IDs
-  exactly like the reference (``cuda_texture_renderer.py:798-813``).
+* The texture atlas is one packed-int32 plane (0x00BBGGRR per texel — one
+  hardware-native gather per sample) plus an ``[offset, width, height]`` info
+  table, path-sorted for stable IDs exactly like the reference
+  (``cuda_texture_renderer.py:798-813``).
 
 GPU-parity mode reproduces the reference wire-format quirks needed for
 pixel-RMSE matching: planes and triangles never carry refraction
@@ -80,9 +81,7 @@ class CompiledScene(NamedTuple):
     lights: V3  # (L,) — point samples of area lights
     light_color: V3  # scalars
     ambient: V3  # scalars
-    atlas_r: jnp.ndarray  # (Npix,) uint8 channel planes
-    atlas_g: jnp.ndarray
-    atlas_b: jnp.ndarray
+    atlas: jnp.ndarray  # (Npix,) int32, 0x00BBGGRR packed texels
     tex_offset: jnp.ndarray  # (T,) int32, in pixels
     tex_width: jnp.ndarray
     tex_height: jnp.ndarray
@@ -260,7 +259,7 @@ def compile_scene(
         n_lights = 0
 
     # ---- texture atlas ---------------------------------------------------------
-    atlas_r, atlas_g, atlas_b, offs, ws, hs = _build_atlas(texture_paths)
+    atlas, offs, ws, hs = _build_atlas(texture_paths)
 
     # ---- acceleration structure -------------------------------------------------
     # Brute-force broadcast beats tree walks below a few hundred primitives
@@ -285,9 +284,7 @@ def compile_scene(
         lights=lights,
         light_color=V3.of(scene.light_color.x, scene.light_color.y, scene.light_color.z),
         ambient=V3.of(scene.ambient.x, scene.ambient.y, scene.ambient.z),
-        atlas_r=atlas_r,
-        atlas_g=atlas_g,
-        atlas_b=atlas_b,
+        atlas=atlas,
         tex_offset=offs,
         tex_width=ws,
         tex_height=hs,
@@ -295,8 +292,14 @@ def compile_scene(
 
 
 def _build_atlas(texture_paths: List[str]):
-    """Concatenate all textures row-major into one SoA atlas
-    (TPU analogue of ``cuda_texture_renderer.py:910-955``)."""
+    """Concatenate all textures row-major into one packed-int32 atlas
+    (TPU analogue of ``cuda_texture_renderer.py:910-955``).
+
+    One int32 per texel (0x00BBGGRR): a single vector gather per sample
+    instead of three uint8 gathers — random gathers are the path tracer's
+    dominant per-bounce cost on TPU (~18 ns/element), and int32 is the
+    hardware-native width.
+    """
     from PIL import Image
 
     chunks = []
@@ -326,10 +329,10 @@ def _build_atlas(texture_paths: List[str]):
         flat = np.full((1, 3), 255, dtype=np.uint8)
         offs, ws, hs = [0], [1], [1]
 
+    flat32 = flat.astype(np.int32)
+    packed = flat32[:, 0] | (flat32[:, 1] << 8) | (flat32[:, 2] << 16)
     return (
-        jnp.asarray(flat[:, 0]),
-        jnp.asarray(flat[:, 1]),
-        jnp.asarray(flat[:, 2]),
+        jnp.asarray(packed),
         jnp.asarray(np.asarray(offs, dtype=np.int32)),
         jnp.asarray(np.asarray(ws, dtype=np.int32)),
         jnp.asarray(np.asarray(hs, dtype=np.int32)),
@@ -350,5 +353,5 @@ def scene_summary(cs: CompiledScene) -> dict:
         "triangles": cs.n_triangles,
         "lights": cs.n_lights,
         "textures": cs.n_textures,
-        "atlas_pixels": int(cs.atlas_r.shape[0]),
+        "atlas_pixels": int(cs.atlas.shape[0]),
     }

@@ -1,6 +1,6 @@
 """Vectorized texture-atlas sampling (TPU analogue of ``cuda_sample_texture``,
-``cuda_texture_renderer.py:117-143``): nearest-neighbour with V flip, one
-gather per channel into the SoA atlas planes.
+``cuda_texture_renderer.py:117-143``): nearest-neighbour with V flip, a
+single vector gather into the packed-int32 atlas.
 """
 from __future__ import annotations
 
@@ -26,11 +26,12 @@ def sample_atlas(cs: CompiledScene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.
     iv = jnp.clip(((1.0 - vv) * (h - 1).astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
 
     idx = off + iv * w + iu
+    texel = cs.atlas[idx]  # one gather; channels unpacked in registers
     inv255 = jnp.float32(1.0 / 255.0)
     rgb = V3(
-        cs.atlas_r[idx].astype(jnp.float32) * inv255,
-        cs.atlas_g[idx].astype(jnp.float32) * inv255,
-        cs.atlas_b[idx].astype(jnp.float32) * inv255,
+        (texel & 0xFF).astype(jnp.float32) * inv255,
+        ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
+        ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
     )
     return V3.where(tex_id >= 0, rgb, V3.of(1.0, 1.0, 1.0))
 

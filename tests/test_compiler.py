@@ -51,7 +51,7 @@ def test_texture_ids_path_sorted(cornell):
     ws, hs = np.asarray(cs.tex_width), np.asarray(cs.tex_height)
     # offsets are cumulative pixel counts
     np.testing.assert_array_equal(offs[1:], np.cumsum(ws * hs)[:-1])
-    assert cs.atlas_r.shape[0] == int((ws * hs).sum())
+    assert cs.atlas.shape[0] == int((ws * hs).sum())
 
 
 def test_plane_conventions_differ_only_in_v():
