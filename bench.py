@@ -21,6 +21,10 @@ WIDTH = HEIGHT = 1024
 DEPTH = 8
 GROUP_SPP = 16
 BATCHES = 4
+# downsampled atlas (box filter, max-dim cap): random-gather throughput on
+# TPU scales with table size, and at 1024² these textures are minified far
+# below this budget anyway; 0 would use the reference-exact full resolution
+TEXTURE_BUDGET = 256
 
 
 def main() -> int:
@@ -48,7 +52,8 @@ def main() -> int:
         width=WIDTH, height=HEIGHT, samples_per_pixel=GROUP_SPP, max_depth=DEPTH
     )
     renderer = ptrt.RendererFactory.create(
-        "tpu_path_raytracer", sample_group=GROUP_SPP, chunk_rays=1 << 21
+        "tpu_path_raytracer", sample_group=GROUP_SPP, chunk_rays=1 << 21,
+        texture_budget=TEXTURE_BUDGET,
     )
 
     platform = jax.devices()[0].platform

@@ -57,6 +57,29 @@ def build_parser() -> argparse.ArgumentParser:
     # ---- TPU-framework additions ------------------------------------------
     parser.add_argument("--seed", type=int, default=0, help="RNG seed")
     parser.add_argument(
+        "--jitter",
+        choices=["diagonal", "independent", "center"],
+        default=None,
+        help=(
+            "pixel-jitter mode: 'diagonal' reproduces the reference's du==dv "
+            "quirk (Whitted default), 'independent' is proper jitter (path "
+            "default), 'center' pins samples for debugging"
+        ),
+    )
+    parser.add_argument(
+        "--debug-nans", action="store_true", help="enable JAX NaN checking (slow)"
+    )
+    parser.add_argument(
+        "--texture-budget",
+        type=int,
+        default=0,
+        help=(
+            "cap texture max dimension (box-filtered atlas downsample); "
+            "0 = reference-exact full resolution; 256 is ~2.6x faster "
+            "per bounce on TPU"
+        ),
+    )
+    parser.add_argument(
         "--chunk-rays",
         type=int,
         default=1 << 20,
@@ -120,7 +143,13 @@ def main(argv=None) -> int:
     camera = builder.create_camera(args.width / args.height)
 
     print(f"Creating renderer: {args.renderer}")
-    kwargs = {"chunk_rays": args.chunk_rays, "seed": args.seed}
+    kwargs = {
+        "chunk_rays": args.chunk_rays,
+        "seed": args.seed,
+        "texture_budget": args.texture_budget,
+    }
+    if args.jitter:
+        kwargs["jitter"] = args.jitter
     if args.devices:
         from path_tracing__ray_tracer_tpu.parallel.mesh import make_mesh
 
@@ -128,8 +157,10 @@ def main(argv=None) -> int:
     renderer = RendererFactory.create(args.renderer, **kwargs)
     print(f"Capabilities: {', '.join(renderer.get_capabilities())}")
 
+    from path_tracing__ray_tracer_tpu.utils.debug import debug_nans
+
     start = time.time()
-    with maybe_trace(args.trace_dir):
+    with maybe_trace(args.trace_dir), debug_nans(args.debug_nans):
         if args.progressive:
             from path_tracing__ray_tracer_tpu.parallel.progressive import (
                 render_progressive,

@@ -153,6 +153,7 @@ def compile_scene(
     convention: str = "gpu",
     gpu_parity: bool = True,
     with_textures: bool = True,
+    texture_budget: int = 0,
 ) -> CompiledScene:
     """Lower a host ``Scene`` to the device SoA form.
 
@@ -160,6 +161,12 @@ def compile_scene(
     given ``v_dir`` (``cuda_renderer.py:336-341``); ``"cpu"`` derives
     ``v = normal × u`` (``core/geometry.py:36``).  ``gpu_parity`` reproduces
     the wire-format quirks of the reference GPU flatteners (see module doc).
+
+    ``texture_budget`` caps each texture's max dimension (box-filter
+    downsample at atlas build).  0 keeps the reference-exact full resolution.
+    TPU random-gather throughput scales with table size — a 256-budget atlas
+    (~1.7 MB) samples ~2.6× faster than the full 17M-texel atlas on v5e —
+    while renders at typical resolutions minify these textures anyway.
     """
     planes = [o for o in scene.objects if isinstance(o, Plane)]
     spheres = [o for o in scene.objects if isinstance(o, Sphere)]
@@ -259,7 +266,7 @@ def compile_scene(
         n_lights = 0
 
     # ---- texture atlas ---------------------------------------------------------
-    atlas, offs, ws, hs = _build_atlas(texture_paths)
+    atlas, offs, ws, hs = _build_atlas(texture_paths, texture_budget)
 
     # ---- acceleration structure -------------------------------------------------
     # Brute-force broadcast beats tree walks below a few hundred primitives
@@ -291,7 +298,7 @@ def compile_scene(
     )
 
 
-def _build_atlas(texture_paths: List[str]):
+def _build_atlas(texture_paths: List[str], texture_budget: int = 0):
     """Concatenate all textures row-major into one packed-int32 atlas
     (TPU analogue of ``cuda_texture_renderer.py:910-955``).
 
@@ -308,7 +315,15 @@ def _build_atlas(texture_paths: List[str]):
     for path in texture_paths:
         try:
             with Image.open(path) as img:
-                pixels = np.asarray(img.convert("RGB"), dtype=np.uint8)
+                rgb = img.convert("RGB")
+                if texture_budget and max(rgb.size) > texture_budget:
+                    scale = texture_budget / max(rgb.size)
+                    rgb = rgb.resize(
+                        (max(1, int(rgb.size[0] * scale)),
+                         max(1, int(rgb.size[1] * scale))),
+                        Image.BOX,
+                    )
+                pixels = np.asarray(rgb, dtype=np.uint8)
             h, w = pixels.shape[:2]
             chunks.append(pixels.reshape(-1, 3))
             offs.append(offset)

@@ -57,6 +57,7 @@ class WavefrontRenderer(BaseRenderer):
         seed: int = 0,
         jitter: str = "diagonal",  # 'diagonal' (reference quirk) | 'independent' | 'center'
         mesh=None,
+        texture_budget: int = 0,  # 0 = reference-exact full-res atlas
     ):
         super().__init__(name)
         self.chunk_rays = int(chunk_rays)
@@ -64,6 +65,7 @@ class WavefrontRenderer(BaseRenderer):
         assert jitter in ("diagonal", "independent", "center"), jitter
         self.jitter = jitter
         self.mesh = mesh
+        self.texture_budget = int(texture_budget)
         self._scene_cache: Dict[Tuple[int, str, bool], CompiledScene] = {}
         self._jit_cache: Dict[Tuple, Callable] = {}
         # progressive-accumulation hook (reference frame_count analogue,
@@ -72,10 +74,13 @@ class WavefrontRenderer(BaseRenderer):
 
     # -- scene compilation (cached) -----------------------------------------
     def compiled(self, scene: Scene) -> CompiledScene:
-        key = (id(scene), self.convention, self.gpu_parity)
+        key = (id(scene), self.convention, self.gpu_parity, self.texture_budget)
         if key not in self._scene_cache:
             cs = compile_scene(
-                scene, convention=self.convention, gpu_parity=self.gpu_parity
+                scene,
+                convention=self.convention,
+                gpu_parity=self.gpu_parity,
+                texture_budget=self.texture_budget,
             )
             self._scene_cache[key] = cs
             log_event("scene_compiled", renderer=self.name, **scene_summary(cs))
