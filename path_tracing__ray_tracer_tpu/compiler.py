@@ -73,11 +73,36 @@ class TrianglesSoA(NamedTuple):
     uv2: Tuple[jnp.ndarray, jnp.ndarray]
 
 
+class QuadsSoA(NamedTuple):
+    """Parallelogram quads merged from adjacent triangle pairs.
+
+    A TPU-first optimization with no reference counterpart: the Cornell
+    scene's 26 triangles are 13 parallelograms (12 cube faces + canvas), and
+    one quad test costs less than half of two Möller–Trumbore tests in the
+    brute-force sweep.  ``du``/``dv`` are the precomputed dual vectors of the
+    edge basis, so the in-plane coordinates are two dot products:
+    ``a = (p − origin)·du``, ``b = (p − origin)·dv`` with hit iff
+    ``0 ≤ a,b ≤ 1``.  Double-sided with normal flipped toward the ray — the
+    same convention as the triangles they replace.
+    """
+
+    origin: V3  # (Q,)
+    eu: V3  # edge to the "a" corner
+    ev: V3  # edge to the "b" corner
+    normal: V3  # unit, same orientation as the source triangles
+    du: V3  # dual of eu
+    dv: V3  # dual of ev
+    uv0: Tuple[jnp.ndarray, jnp.ndarray]  # UV at origin
+    uva: Tuple[jnp.ndarray, jnp.ndarray]  # d(UV)/da
+    uvb: Tuple[jnp.ndarray, jnp.ndarray]  # d(UV)/db
+
+
 class CompiledScene(NamedTuple):
     planes: PlanesSoA
     spheres: SpheresSoA
+    quads: "QuadsSoA"
     triangles: TrianglesSoA
-    materials: MatSoA  # size P + S + T
+    materials: MatSoA  # size P + S + Q + T (global primitive order)
     lights: V3  # (L,) — point samples of area lights
     light_color: V3  # scalars
     ambient: V3  # scalars
@@ -94,6 +119,10 @@ class CompiledScene(NamedTuple):
     @property
     def n_spheres(self) -> int:
         return int(self.spheres.radius.shape[0])
+
+    @property
+    def n_quads(self) -> int:
+        return int(self.quads.uv0[0].shape[0])
 
     @property
     def n_triangles(self) -> int:
@@ -135,6 +164,80 @@ def _f32_table(vals: List[float], pad: int, fill=0.0) -> jnp.ndarray:
     return jnp.asarray(arr)
 
 
+def _merge_quads(tris: List[Triangle]):
+    """Merge adjacent triangle pairs into parallelogram quads.
+
+    A pair (i, i+1) merges when it forms the two halves of a parallelogram
+    with a consistent bilinear UV map — the pattern every quad-emitting
+    builder produces: ``(q0, q1, q2)`` + ``(q0, q2, q3)`` with
+    ``q2 == q1 + q3 − q0``.  Returns ``(quad_records, leftover_triangles)``;
+    each record is ``(origin, eu, ev, normal, uv0, uva, uvb, material)``.
+    """
+    import numpy as np
+
+    def uv_of(t, which):
+        # reference wire-format defaults for missing vertex UVs
+        # (cuda_texture_renderer.py:869-874)
+        defaults = {0: (0.0, 0.0), 1: (1.0, 0.0), 2: (1.0, 1.0)}
+        uv = (t.uv0, t.uv1, t.uv2)[which]
+        return (
+            (float(uv[0]), float(uv[1])) if uv is not None else defaults[which]
+        )
+
+    # Pair by shared diagonal edge via a hash (the scene's BVH build sorts
+    # the object list in place — reference behavior — so pairs are not
+    # adjacent).  A t1=(q0,q1,q2) matches a t2=(q0,q2,q3): key both by the
+    # quantized (v0, shared-vertex) edge + material identity.
+    def quant(v):
+        return (round(v.x, 5), round(v.y, 5), round(v.z, 5))
+
+    by_edge = {}
+    for j, t in enumerate(tris):
+        by_edge.setdefault((quant(t.v0), quant(t.v1), id(t.material)), []).append(j)
+
+    used = [False] * len(tris)
+    quads, leftovers = [], []
+    for i, t1 in enumerate(tris):
+        if used[i]:
+            continue
+        merged = False
+        for j in by_edge.get((quant(t1.v0), quant(t1.v2), id(t1.material)), []):
+            if j == i or used[j]:
+                continue
+            t2 = tris[j]
+            q0, q1, q2, q3 = t1.v0, t1.v1, t1.v2, t2.v2
+            scale = max((q1 - q0).length(), (q3 - q0).length(), 1e-6)
+            if (q2 - (q1 + q3 - q0)).length() >= 1e-5 * scale:
+                continue
+            uv0 = np.array(uv_of(t1, 0))
+            uv1 = np.array(uv_of(t1, 1))
+            uv2 = np.array(uv_of(t1, 2))
+            uv3 = np.array(uv_of(t2, 2))
+            uv_ok = (
+                np.abs(uv2 - (uv1 + uv3 - uv0)).max() < 1e-5
+                and np.abs(np.array(uv_of(t2, 0)) - uv0).max() < 1e-5
+                and np.abs(np.array(uv_of(t2, 1)) - uv2).max() < 1e-5
+            )
+            if not uv_ok:
+                continue
+            eu, ev = q1 - q0, q3 - q0
+            n = eu.cross(ev)
+            if n.dot(n) <= 1e-12:
+                continue
+            du = ev.cross(n) / ev.cross(n).dot(eu)
+            dv = n.cross(eu) / n.cross(eu).dot(ev)
+            quads.append(
+                (q0, eu, ev, n.normalize(), du, dv,
+                 tuple(uv0), tuple(uv1 - uv0), tuple(uv3 - uv0), t1.material)
+            )
+            used[i] = used[j] = True
+            merged = True
+            break
+        if not merged:
+            leftovers.append(t1)
+    return quads, leftovers
+
+
 def collect_texture_paths(scene: Scene) -> List[str]:
     """All distinct texture paths, sorted — the reference's stable-ID rule
     (``cuda_texture_renderer.py:798-813``)."""
@@ -154,6 +257,7 @@ def compile_scene(
     gpu_parity: bool = True,
     with_textures: bool = True,
     texture_budget: int = 0,
+    merge_quads: bool = True,
 ) -> CompiledScene:
     """Lower a host ``Scene`` to the device SoA form.
 
@@ -171,11 +275,15 @@ def compile_scene(
     planes = [o for o in scene.objects if isinstance(o, Plane)]
     spheres = [o for o in scene.objects if isinstance(o, Sphere)]
     tris = [o for o in scene.objects if isinstance(o, Triangle)]
+    quad_recs = []
+    if merge_quads:
+        quad_recs, tris = _merge_quads(tris)
 
     texture_paths = collect_texture_paths(scene) if with_textures else []
     tex_ids = {p: i for i, p in enumerate(texture_paths)}
 
     p_pad, s_pad, t_pad = _pad_to(len(planes)), _pad_to(len(spheres)), _pad_to(len(tris))
+    q_pad = _pad_to(len(quad_recs))
 
     # ---- geometry tables ---------------------------------------------------
     plane_v_units = []
@@ -216,8 +324,27 @@ def compile_scene(
         uv2=_uv_pair([t.uv2 for t in tris], (1.0, 1.0)),
     )
 
-    # ---- unified material table (plane → sphere → triangle order) ----------
-    m_total = p_pad + s_pad + t_pad
+    def _uv_scalar_pair(vals, pad):
+        u = _f32_table([v[0] for v in vals], pad)
+        v = _f32_table([v[1] for v in vals], pad)
+        return (u, v)
+
+    quads_soa = QuadsSoA(
+        origin=_v3_table([q[0] for q in quad_recs], q_pad),
+        # zero edges + zero duals: a/b stay 0... make pads unhittable via
+        # zero normal (plane-style parallel rejection needs |rd.n|>eps)
+        eu=_v3_table([q[1] for q in quad_recs], q_pad),
+        ev=_v3_table([q[2] for q in quad_recs], q_pad),
+        normal=_v3_table([q[3] for q in quad_recs], q_pad),  # zero normal pad
+        du=_v3_table([q[4] for q in quad_recs], q_pad),
+        dv=_v3_table([q[5] for q in quad_recs], q_pad),
+        uv0=_uv_scalar_pair([q[6] for q in quad_recs] or [(0.0, 0.0)], q_pad),
+        uva=_uv_scalar_pair([q[7] for q in quad_recs] or [(0.0, 0.0)], q_pad),
+        uvb=_uv_scalar_pair([q[8] for q in quad_recs] or [(0.0, 0.0)], q_pad),
+    )
+
+    # ---- unified material table (plane → sphere → quad → triangle order) ----
+    m_total = p_pad + s_pad + q_pad + t_pad
     color = np.zeros((m_total, 3), dtype=np.float32)
     diffuse = np.zeros(m_total, dtype=np.float32)
     specular = np.zeros(m_total, dtype=np.float32)
@@ -244,8 +371,11 @@ def compile_scene(
         _fill(i, p.material, allow_refraction=not gpu_parity, allow_texture=not gpu_parity)
     for i, s in enumerate(spheres):
         _fill(p_pad + i, s.material, allow_refraction=True, allow_texture=not gpu_parity)
+    for i, q in enumerate(quad_recs):
+        _fill(p_pad + s_pad + i, q[9], allow_refraction=not gpu_parity, allow_texture=True)
     for i, t in enumerate(tris):
-        _fill(p_pad + s_pad + i, t.material, allow_refraction=not gpu_parity, allow_texture=True)
+        _fill(p_pad + s_pad + q_pad + i, t.material, allow_refraction=not gpu_parity,
+              allow_texture=True)
 
     materials = MatSoA(
         color=V3(jnp.asarray(color[:, 0]), jnp.asarray(color[:, 1]), jnp.asarray(color[:, 2])),
@@ -286,6 +416,7 @@ def compile_scene(
         bvh=flat_bvh,
         planes=planes_soa,
         spheres=spheres_soa,
+        quads=quads_soa,
         triangles=tris_soa,
         materials=materials,
         lights=lights,
@@ -365,6 +496,7 @@ def scene_summary(cs: CompiledScene) -> dict:
     return {
         "planes": cs.n_planes,
         "spheres": cs.n_spheres,
+        "quads": cs.n_quads,
         "triangles": cs.n_triangles,
         "lights": cs.n_lights,
         "textures": cs.n_textures,

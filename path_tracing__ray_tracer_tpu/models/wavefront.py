@@ -171,7 +171,10 @@ class WavefrontRenderer(BaseRenderer):
             chunks=-(-w * h // n_pix),
         )
 
-        sums = np.zeros((w * h, 3), dtype=np.float32)
+        # dispatch every chunk asynchronously, then fetch once: device compute
+        # pipelines ahead of the host, and each host sync costs ~30 ms on the
+        # tunneled backend
+        pending = []
         for pix0 in range(0, w * h, n_pix):
             chunk_sum = None
             for s0 in range(sample_offset, sample_offset + n_samples, group):
@@ -183,7 +186,11 @@ class WavefrontRenderer(BaseRenderer):
                     jnp.int32(s0),
                 )
                 chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
-            block = np.asarray(chunk_sum.to_array())
+            pending.append((pix0, chunk_sum.to_array()))
+
+        sums = np.zeros((w * h, 3), dtype=np.float32)
+        for pix0, block_dev in pending:
+            block = np.asarray(block_dev)
             take = min(n_pix, w * h - pix0)
             sums[pix0 : pix0 + take] += block[:take]
         return sums

@@ -91,6 +91,32 @@ def _sphere_candidate(cs: CompiledScene, i, ro: V3, rd: V3, t_min, best_t):
     return valid, t
 
 
+def _quad_candidate(cs: CompiledScene, i, ro: V3, rd: V3, t_min, best_t):
+    """Parallelogram quad: plane hit + two dual-basis dot products
+    (see ``compiler.QuadsSoA``).  Double-sided like the triangles it merged."""
+    n = cs.quads.normal.at_index(i)
+    origin = cs.quads.origin.at_index(i)
+    du = cs.quads.du.at_index(i)
+    dv = cs.quads.dv.at_index(i)
+
+    denom = rd.dot(n)
+    nonparallel = jnp.abs(denom) > EPS
+    t = (origin - ro).dot(n) / jnp.where(nonparallel, denom, 1.0)
+    rel = ro + rd * t - origin
+    a = rel.dot(du)
+    b = rel.dot(dv)
+    valid = (
+        nonparallel
+        & (t > t_min)
+        & (t < best_t)
+        & (a >= 0.0)
+        & (a <= 1.0)
+        & (b >= 0.0)
+        & (b <= 1.0)
+    )
+    return valid, t
+
+
 def _triangle_candidate(cs: CompiledScene, i, ro: V3, rd: V3, t_min, best_t):
     """Möller–Trumbore for triangle ``i`` (``cuda_texture_renderer.py:636-677``)."""
     v0 = cs.triangles.v0.at_index(i)
@@ -185,7 +211,8 @@ def _closest_broadcast(cs: CompiledScene, ro: V3, rd: V3, t_min, t_max,
     inf = jnp.float32(jnp.inf)
     vp, tp = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
     vs, ts = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
-    parts = [jnp.where(vp, tp, inf), jnp.where(vs, ts, inf)]
+    vq, tq = _quad_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+    parts = [jnp.where(vp, tp, inf), jnp.where(vs, ts, inf), jnp.where(vq, tq, inf)]
     if include_tris:
         vt, tt = _triangle_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         parts.append(jnp.where(vt, tt, inf))
@@ -203,7 +230,7 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     ``t_max`` may be a scalar or an (N,)-array (per-ray shadow distances).
     """
     n = ro.x.shape
-    P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
+    P, S, Q, T = cs.n_planes, cs.n_spheres, cs.n_quads, cs.n_triangles
 
     if _pallas_enabled(cs) and isinstance(t_max, (int, float)):
         from .pallas.intersect_pallas import closest_hit_pallas, pack_scene_blob
@@ -222,22 +249,23 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
             cs, ro, rd, t_min, t_max, include_tris=False
         )
         tri_t, tri_idx = traverse_closest(
-            cs.bvh, cs.triangles, ro, rd, t_min, t_max, tri_offset=P + S
+            cs.bvh, cs.triangles, ro, rd, t_min, t_max, tri_offset=P + S + Q
         )
         tri_hit = tri_idx >= 0
         tri_wins = tri_hit & (~ps_hit | (tri_t < ps_t))
         best_idx = jnp.where(tri_wins, tri_idx, ps_idx)
         best_t = jnp.where(tri_wins, tri_t, ps_t)
         hit = ps_hit | tri_hit
-    elif P + S + T <= BROADCAST_LIMIT:
+    elif P + S + Q + T <= BROADCAST_LIMIT:
         best_idx, best_t, hit = _closest_broadcast(cs, ro, rd, t_min, t_max)
     else:
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
         best_idx = jnp.full(n, -1, dtype=jnp.int32)
         best_t, best_idx = _sweep(_plane_candidate, cs, P, 0, ro, rd, t_min, best_t, best_idx)
         best_t, best_idx = _sweep(_sphere_candidate, cs, S, P, ro, rd, t_min, best_t, best_idx)
+        best_t, best_idx = _sweep(_quad_candidate, cs, Q, P + S, ro, rd, t_min, best_t, best_idx)
         best_t, best_idx = _sweep(
-            _triangle_candidate, cs, T, P + S, ro, rd, t_min, best_t, best_idx
+            _triangle_candidate, cs, T, P + S + Q, ro, rd, t_min, best_t, best_idx
         )
         hit = best_idx >= 0
     point = ro + rd * best_t
@@ -245,11 +273,13 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     # ---- recompute winner attributes from gathered primitive data ----------
     is_plane = hit & (best_idx < P)
     is_sphere = hit & (best_idx >= P) & (best_idx < P + S)
-    is_tri = hit & (best_idx >= P + S)
+    is_quad = hit & (best_idx >= P + S) & (best_idx < P + S + Q)
+    is_tri = hit & (best_idx >= P + S + Q)
 
     pi = jnp.clip(best_idx, 0, P - 1)
     si = jnp.clip(best_idx - P, 0, S - 1)
-    ti = jnp.clip(best_idx - P - S, 0, T - 1)
+    qi = jnp.clip(best_idx - P - S, 0, Q - 1)
+    ti = jnp.clip(best_idx - P - S - Q, 0, T - 1)
 
     # plane attributes
     pn = cs.planes.normal.take(pi)
@@ -262,6 +292,16 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     s_center = cs.spheres.center.take(si)
     s_rad = cs.spheres.radius[si]
     sn = (point - s_center) * (1.0 / jnp.where(s_rad > 0, s_rad, 1.0))
+
+    # quad attributes: dual-basis coordinates, normal flipped toward ray
+    q_origin = cs.quads.origin.take(qi)
+    q_rel = point - q_origin
+    qa = q_rel.dot(cs.quads.du.take(qi))
+    qb = q_rel.dot(cs.quads.dv.take(qi))
+    qn_raw = cs.quads.normal.take(qi)
+    qn = V3.where(qn_raw.dot(rd) > 0.0, -qn_raw, qn_raw)
+    q_u = cs.quads.uv0[0][qi] + qa * cs.quads.uva[0][qi] + qb * cs.quads.uvb[0][qi]
+    q_v = cs.quads.uv0[1][qi] + qa * cs.quads.uva[1][qi] + qb * cs.quads.uvb[1][qi]
 
     # triangle attributes: barycentrics recomputed, normal flipped toward ray
     tv0 = cs.triangles.v0.take(ti)
@@ -279,9 +319,11 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     t_u = bu * cs.triangles.uv1[0][ti] + bv * cs.triangles.uv2[0][ti] + bw * cs.triangles.uv0[0][ti]
     t_v = bu * cs.triangles.uv1[1][ti] + bv * cs.triangles.uv2[1][ti] + bw * cs.triangles.uv0[1][ti]
 
-    normal = V3.where(is_plane, pn, V3.where(is_sphere, sn, tn))
-    u = jnp.where(is_plane, p_u, jnp.where(is_tri, t_u, 0.0))
-    v = jnp.where(is_plane, p_v, jnp.where(is_tri, t_v, 0.0))
+    normal = V3.where(
+        is_plane, pn, V3.where(is_sphere, sn, V3.where(is_quad, qn, tn))
+    )
+    u = jnp.where(is_plane, p_u, jnp.where(is_quad, q_u, jnp.where(is_tri, t_u, 0.0)))
+    v = jnp.where(is_plane, p_v, jnp.where(is_quad, q_v, jnp.where(is_tri, t_v, 0.0)))
 
     # Miss default normal matches the reference's (0, 1, 0)
     # (cuda_texture_renderer.py:439) though no consumer reads it on miss.
@@ -298,7 +340,7 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
     """
     n = ro.x.shape
     limit = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
-    P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
+    P, S, Q, T = cs.n_planes, cs.n_spheres, cs.n_quads, cs.n_triangles
 
     if _pallas_enabled(cs):
         from .pallas.intersect_pallas import any_hit_pallas, pack_scene_blob
@@ -312,16 +354,19 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
         bound = limit[:, None]
         vp, _ = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         vs, _ = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
-        ps_any = jnp.any(vp, axis=1) | jnp.any(vs, axis=1)
+        vq, _ = _quad_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        ps_any = jnp.any(vp, axis=1) | jnp.any(vs, axis=1) | jnp.any(vq, axis=1)
         return ps_any | traverse_any(cs.bvh, cs.triangles, ro, rd, t_min, limit)
 
-    if P + S + T <= BROADCAST_LIMIT:
+    if P + S + Q + T <= BROADCAST_LIMIT:
         ro1, rd1 = _lift(ro), _lift(rd)
         bound = limit[:, None]
         vp, _ = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         vs, _ = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
+        vq, _ = _quad_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         vt, _ = _triangle_candidate(cs, _ALL, ro1, rd1, t_min, bound)
-        return jnp.any(vp, axis=1) | jnp.any(vs, axis=1) | jnp.any(vt, axis=1)
+        return (jnp.any(vp, axis=1) | jnp.any(vs, axis=1) | jnp.any(vq, axis=1)
+                | jnp.any(vt, axis=1))
 
     occluded = jnp.zeros(n, dtype=bool)
 
@@ -334,6 +379,7 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
 
     occluded = run(_plane_candidate, P, occluded)
     occluded = run(_sphere_candidate, S, occluded)
+    occluded = run(_quad_candidate, Q, occluded)
     occluded = run(_triangle_candidate, T, occluded)
     return occluded
 

@@ -47,29 +47,34 @@ _T_MIN_DEFAULT = 1e-3
 class BlobLayout(NamedTuple):
     n_planes: int
     n_spheres: int
+    n_quads: int
     n_tris: int
     # static field offsets into the blob
     plane_base: int
     sphere_base: int
+    quad_base: int
     tri_base: int
     size: int
 
 
 def blob_layout(cs: CompiledScene) -> BlobLayout:
-    P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
+    P, S, Q, T = cs.n_planes, cs.n_spheres, cs.n_quads, cs.n_triangles
     plane_fields = 14  # anchor(3) normal(3) u_unit(3) v_unit(3) u_len v_len
     sphere_fields = 4  # center(3) radius
+    quad_fields = 18  # origin(3) normal(3) du(3) dv(3) uv0(2) uva(2) uvb(2)
     tri_fields = 18  # v0(3) e1(3) e2(3) normal(3) uv0(2) uv1(2) uv2(2)
     pb = 0
     sb = pb + plane_fields * P
-    tb = sb + sphere_fields * S
-    return BlobLayout(P, S, T, pb, sb, tb, tb + tri_fields * T)
+    qb = sb + sphere_fields * S
+    tb = qb + quad_fields * Q
+    return BlobLayout(P, S, Q, T, pb, sb, qb, tb, tb + tri_fields * T)
 
 
 def fits_smem(cs: CompiledScene) -> bool:
     return (
         cs.bvh is None
-        and (cs.n_planes + cs.n_spheres + cs.n_triangles) <= SMEM_PRIM_LIMIT
+        and (cs.n_planes + cs.n_spheres + cs.n_quads + cs.n_triangles)
+        <= SMEM_PRIM_LIMIT
     )
 
 
@@ -80,7 +85,7 @@ def pack_scene_blob(cs: CompiledScene) -> jnp.ndarray:
     so the kernel reads field ``f`` of primitive ``i`` at
     ``base + f·count + i``.
     """
-    p, s, t = cs.planes, cs.spheres, cs.triangles
+    p, s, q, t = cs.planes, cs.spheres, cs.quads, cs.triangles
     e1 = t.v1 - t.v0
     e2 = t.v2 - t.v0
     parts = [
@@ -92,6 +97,12 @@ def pack_scene_blob(cs: CompiledScene) -> jnp.ndarray:
         p.u_len, p.v_len,
         # spheres (4 fields)
         s.center.x, s.center.y, s.center.z, s.radius,
+        # quads (18 fields)
+        q.origin.x, q.origin.y, q.origin.z,
+        q.normal.x, q.normal.y, q.normal.z,
+        q.du.x, q.du.y, q.du.z,
+        q.dv.x, q.dv.y, q.dv.z,
+        q.uv0[0], q.uv0[1], q.uva[0], q.uva[1], q.uvb[0], q.uvb[1],
         # triangles (18 fields)
         t.v0.x, t.v0.y, t.v0.z,
         e1.x, e1.y, e1.z,
@@ -110,7 +121,7 @@ def _sweep_prims(blob, layout: BlobLayout, rox, roy, roz, rdx, rdy, rdz,
     ``want_attrs`` is False).  ``bound`` is the initial best (scalar or
     per-lane array).
     """
-    P, S, T = layout.n_planes, layout.n_spheres, layout.n_tris
+    P, S, Q, T = layout.n_planes, layout.n_spheres, layout.n_quads, layout.n_tris
 
     def f(base, field, count, i):
         return blob[0, base + field * count + i]
@@ -179,6 +190,41 @@ def _sweep_prims(blob, layout: BlobLayout, rox, roy, roz, rdx, rdy, rdz,
             uu = jnp.where(win, 0.0, uu)  # sphere UVs fixed at 0 (quirk 3)
             vv = jnp.where(win, 0.0, vv)
 
+    qb = layout.quad_base
+    for i in range(Q):
+        oxq, oyq, ozq = f(qb, 0, Q, i), f(qb, 1, Q, i), f(qb, 2, Q, i)
+        qnx, qny, qnz = f(qb, 3, Q, i), f(qb, 4, Q, i), f(qb, 5, Q, i)
+        dux, duy, duz = f(qb, 6, Q, i), f(qb, 7, Q, i), f(qb, 8, Q, i)
+        dvx, dvy, dvz = f(qb, 9, Q, i), f(qb, 10, Q, i), f(qb, 11, Q, i)
+
+        denom = rdx * qnx + rdy * qny + rdz * qnz
+        ok = jnp.abs(denom) > 1e-6
+        tt = ((oxq - rox) * qnx + (oyq - roy) * qny + (ozq - roz) * qnz) / jnp.where(
+            ok, denom, 1.0
+        )
+        relx = rox + rdx * tt - oxq
+        rely = roy + rdy * tt - oyq
+        relz = roz + rdz * tt - ozq
+        a = relx * dux + rely * duy + relz * duz
+        bqd = relx * dvx + rely * dvy + relz * dvz
+        win = (
+            ok & (tt > t_min) & (tt < best_t)
+            & (a >= 0.0) & (a <= 1.0) & (bqd >= 0.0) & (bqd <= 1.0)
+        )
+        best_t = jnp.where(win, tt, best_t)
+        best_i = jnp.where(win, P + S + i, best_i)
+        if want_attrs:
+            flip = denom > 0.0  # flip toward the ray, like the merged tris
+            sgn = jnp.where(flip, -1.0, 1.0)
+            nx = jnp.where(win, sgn * qnx, nx)
+            ny = jnp.where(win, sgn * qny, ny)
+            nz = jnp.where(win, sgn * qnz, nz)
+            u0u, u0v = f(qb, 12, Q, i), f(qb, 13, Q, i)
+            uau, uav = f(qb, 14, Q, i), f(qb, 15, Q, i)
+            ubu, ubv = f(qb, 16, Q, i), f(qb, 17, Q, i)
+            uu = jnp.where(win, u0u + a * uau + bqd * ubu, uu)
+            vv = jnp.where(win, u0v + a * uav + bqd * ubv, vv)
+
     tb = layout.tri_base
     for i in range(T):
         v0x, v0y, v0z = f(tb, 0, T, i), f(tb, 1, T, i), f(tb, 2, T, i)
@@ -203,7 +249,7 @@ def _sweep_prims(blob, layout: BlobLayout, rox, roy, roz, rdx, rdy, rdz,
             & (tt > t_min) & (tt < best_t)
         )
         best_t = jnp.where(win, tt, best_t)
-        best_i = jnp.where(win, P + S + i, best_i)
+        best_i = jnp.where(win, P + S + Q + i, best_i)
         if want_attrs:
             tnx, tny, tnz = f(tb, 9, T, i), f(tb, 10, T, i), f(tb, 11, T, i)
             flip = rdx * tnx + rdy * tny + rdz * tnz > 0.0

@@ -14,12 +14,17 @@ def test_counts_and_summary(cornell):
     scene, _ = cornell
     cs = compile_scene(scene)
     s = scene_summary(cs)
-    # 5 walls, 3 spheres, 26 triangles (24 cube + 2 canvas), 16 light samples,
-    # 7 textures — SURVEY.md §3.5
-    assert s["planes"] >= 5 and s["spheres"] >= 3 and s["triangles"] >= 26
+    # 5 walls, 3 spheres, 26 triangles (24 cube + 2 canvas → merged into 13
+    # parallelogram quads), 16 light samples, 7 textures — SURVEY.md §3.5
+    assert s["planes"] >= 5 and s["spheres"] >= 3
+    assert s["quads"] == 13 and s["triangles"] <= 1  # all tris merge to quads
     assert s["lights"] == 16
     assert s["textures"] == 7
     assert cs.n_lights == 16
+
+    # opting out keeps the raw triangles
+    cs_raw = compile_scene(scene, merge_quads=False)
+    assert cs_raw.n_triangles >= 26 and cs_raw.n_quads <= 1
 
 
 def test_gpu_parity_masks(cornell):
@@ -86,15 +91,17 @@ def test_padding_is_unhittable(tiny_scene):
     ro = np.zeros_like(rd)
     hit = scene_hit(cs, V3.from_array(ro), V3.from_array(rd), 1e-3, 1e6)
     prim = np.asarray(hit.prim)[np.asarray(hit.hit)]
-    P, S, T = cs.n_planes, cs.n_spheres, cs.n_triangles
-    n_real = {"plane": 1, "sphere": 2, "tri": 1}
+    P, S, Q, T = cs.n_planes, cs.n_spheres, cs.n_quads, cs.n_triangles
+    n_real = {"plane": 1, "sphere": 2, "quad": 0, "tri": 1}
     for p in prim:
         if p < P:
             assert p < n_real["plane"]
         elif p < P + S:
             assert p - P < n_real["sphere"]
+        elif p < P + S + Q:
+            assert p - P - S < n_real["quad"]
         else:
-            assert p - P - S < n_real["tri"]
+            assert p - P - S - Q < n_real["tri"]
 
 
 def test_pack_camera_roundtrip():
