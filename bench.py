@@ -79,6 +79,30 @@ def main() -> int:
     mrays = total_rays / elapsed / 1e6
     spp_per_min = spp_measured / elapsed * 60.0
 
+    # secondary: the reference README's own benchmark — Whitted CLI defaults
+    # (2000×1500, 25 spp, depth 16) took 18 s on its RTX 2070 Super; also the
+    # pixel-RMSE against the reference's published render of that exact config
+    whitted = ptrt.RendererFactory.create("tpu_texture_raytracer", chunk_rays=1 << 21)
+    wsettings = ptrt.RenderSettings(
+        width=2000, height=1500, samples_per_pixel=25, max_depth=16
+    )
+    wcam = ptrt.CustomSceneBuilder().create_camera(2000 / 1500)
+    whitted.render_sums(scene, wcam, wsettings)  # warmup/compile
+    t0 = time.time()
+    wimg = whitted.render(scene, wcam, wsettings)
+    whitted_s = time.time() - t0
+
+    rmse_255 = None
+    ref_png = "/root/reference/output_RayTracer.png"
+    if os.path.exists(ref_png):
+        import numpy as np
+        from PIL import Image
+
+        ours = np.asarray(wimg).astype(np.float64)
+        ref = np.asarray(Image.open(ref_png).convert("RGB")).astype(np.float64)
+        if ours.shape == ref.shape:
+            rmse_255 = float(np.sqrt(((ours - ref) ** 2).mean()))
+
     result = {
         "metric": "cornell_path_trace_mrays_per_sec",
         "value": round(mrays, 2),
@@ -93,7 +117,11 @@ def main() -> int:
             "est_seconds_1024spp": round(1024 / spp_measured * elapsed, 1),
             "platform": platform,
             "warmup_seconds": round(warmup_s, 1),
-            "setup_seconds": round(time.time() - t_setup - elapsed - warmup_s, 1),
+            "whitted_cli_default_seconds": round(whitted_s, 2),
+            "whitted_vs_reference_18s": round(18.0 / whitted_s, 2),
+            "whitted_rmse_vs_reference_png_255": (
+                round(rmse_255, 3) if rmse_255 is not None else None
+            ),
         },
     }
     print(json.dumps(result))
