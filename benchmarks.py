@@ -1,0 +1,100 @@
+"""The five BASELINE.json benchmark configurations, end to end.
+
+``bench.py`` stays the driver's single-line contract; this script runs the
+full matrix and prints one JSON line per config:
+
+1. Cornell spheres-only Whitted (cpu_raytracer parity), 256², 1 spp
+2. Cornell diffuse path trace, 512², 64 spp, depth 4
+3. Textured Cornell (cuda_texture_renderer parity), 512², 256 spp
+4. Glass + mirror caustics (hero config), 1024², 1024 spp, depth 8, RR
+5. Triangle-mesh-heavy BVH stress, 1920×1080, 512 spp, wavefront depth 12
+
+Usage:  python benchmarks.py [--configs 1,2,3] [--scale 0.25]
+``--scale`` shrinks spp (not resolution) for quick runs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+
+def run_config(idx: int, scale: float) -> dict:
+    import path_tracing__ray_tracer_tpu as ptrt
+    from path_tracing__ray_tracer_tpu.scene_builders.mesh_scene_builder import (
+        MeshSceneBuilder,
+    )
+
+    cornell = ptrt.CustomSceneBuilder()
+
+    def spp(n):
+        return max(1, int(n * scale))
+
+    configs = {
+        1: ("cpu_raytracer", cornell, dict(width=256, height=256,
+                                           samples_per_pixel=1, max_depth=4), {}),
+        2: ("tpu_path_raytracer", cornell, dict(width=512, height=512,
+                                                samples_per_pixel=spp(64), max_depth=4),
+            dict(texture_budget=256)),
+        3: ("tpu_texture_raytracer", cornell, dict(width=512, height=512,
+                                                   samples_per_pixel=spp(256),
+                                                   max_depth=8), {}),
+        4: ("tpu_path_raytracer", cornell, dict(width=1024, height=1024,
+                                                samples_per_pixel=spp(1024),
+                                                max_depth=8),
+            dict(texture_budget=256, sample_group=16, chunk_rays=1 << 21)),
+        5: ("tpu_path_raytracer", MeshSceneBuilder(), dict(width=1920, height=1080,
+                                                           samples_per_pixel=spp(512),
+                                                           max_depth=12),
+            dict(sample_group=8, chunk_rays=1 << 21)),
+    }
+    renderer_name, builder, cfg, kwargs = configs[idx]
+    scene = builder.build_scene()
+    camera = builder.create_camera(cfg["width"] / cfg["height"])
+    settings = ptrt.RenderSettings(**cfg)
+    renderer = ptrt.RendererFactory.create(renderer_name, **kwargs)
+
+    t0 = time.time()
+    image = renderer.render(scene, camera, settings)
+    elapsed = time.time() - t0
+    del image
+
+    total_rays = cfg["width"] * cfg["height"] * cfg["samples_per_pixel"] * cfg["max_depth"]
+    return {
+        "config": idx,
+        "renderer": renderer_name,
+        "resolution": f"{cfg['width']}x{cfg['height']}",
+        "spp": cfg["samples_per_pixel"],
+        "max_depth": cfg["max_depth"],
+        "seconds": round(elapsed, 2),
+        "mrays_per_sec": round(total_rays / elapsed / 1e6, 2),
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", default="1,2,3,4,5")
+    parser.add_argument("--scale", type=float, default=1.0)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    for idx in (int(c) for c in args.configs.split(",")):
+        result = run_config(idx, args.scale)
+        print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
