@@ -50,10 +50,12 @@ def run_config(idx: int, scale: float) -> dict:
                                                 samples_per_pixel=spp(1024),
                                                 max_depth=8),
             dict(texture_budget=256, sample_group=16, chunk_rays=1 << 21)),
+        # wavefront BVH traversal processes the whole chunk per tree step, so
+        # BVH scenes want smaller chunks (see QUIRKS/perf notes)
         5: ("tpu_path_raytracer", MeshSceneBuilder(), dict(width=1920, height=1080,
                                                            samples_per_pixel=spp(512),
                                                            max_depth=12),
-            dict(sample_group=8, chunk_rays=1 << 21)),
+            dict(sample_group=4, chunk_rays=1 << 17)),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]
     scene = builder.build_scene()

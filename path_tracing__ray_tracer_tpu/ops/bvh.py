@@ -226,12 +226,15 @@ def traverse_closest(
         1.0 / jnp.where(jnp.abs(rd.z) > 1e-12, rd.z, 1e-12),
     )
 
+    # Safety bound: the skip-walk advances every cursor monotonically, so a
+    # correct tree terminates in ≤ m iterations; the cap turns a corrupted
+    # tree (cycle) into a truncated render instead of a TPU watchdog kill.
     def cond(state):
-        cursor, _bt, _bi = state
-        return jnp.any(cursor < m)
+        step, cursor, _bt, _bi = state
+        return (step < m + 1) & jnp.any(cursor < m)
 
     def body(state):
-        cursor, best_t, best_idx = state
+        step, cursor, best_t, best_idx = state
         node = jnp.minimum(cursor, m - 1)
 
         lo = bvh.lo[node]  # (N, 3) gathers
@@ -281,14 +284,15 @@ def traverse_closest(
         descend = box_hit & ~bvh.is_leaf[node] & active
         nxt = jnp.where(descend, cursor + 1, bvh.skip[node])
         cursor = jnp.where(active, nxt, cursor)
-        return cursor, best_t, best_idx
+        return step + 1, cursor, best_t, best_idx
 
     init = (
+        jnp.int32(0),
         jnp.zeros(n, dtype=jnp.int32),
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
         jnp.full(n, -1, dtype=jnp.int32),
     )
-    _c, best_t, best_idx = jax.lax.while_loop(cond, body, init)
+    _s, _c, best_t, best_idx = jax.lax.while_loop(cond, body, init)
     return best_t, best_idx
 
 
