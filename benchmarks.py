@@ -50,12 +50,13 @@ def run_config(idx: int, scale: float) -> dict:
                                                 samples_per_pixel=spp(1024),
                                                 max_depth=8),
             dict(texture_budget=256, sample_group=16, chunk_rays=1 << 21)),
-        # wavefront BVH traversal processes the whole chunk per tree step, so
-        # BVH scenes want smaller chunks (see QUIRKS/perf notes)
-        5: ("tpu_path_raytracer", MeshSceneBuilder(), dict(width=1920, height=1080,
-                                                           samples_per_pixel=spp(512),
-                                                           max_depth=12),
-            dict(sample_group=4, chunk_rays=1 << 17)),
+        # the gather-heavy BVH walk loses to the scalar-indexed fori sweep on
+        # this backend (vector gathers ~8 ns/elem; see perf notes) — force
+        # the sweep and keep per-executable work below the TPU watchdog
+        5: ("tpu_path_raytracer", MeshSceneBuilder(grid=3, subdivisions=2),
+            dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
+            dict(sample_group=2, chunk_rays=1 << 18,
+                 compile_overrides={"use_bvh": False})),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]
     scene = builder.build_scene()

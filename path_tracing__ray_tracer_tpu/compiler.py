@@ -258,6 +258,7 @@ def compile_scene(
     with_textures: bool = True,
     texture_budget: int = 0,
     merge_quads: bool = True,
+    use_bvh: bool = None,
 ) -> CompiledScene:
     """Lower a host ``Scene`` to the device SoA form.
 
@@ -399,10 +400,16 @@ def compile_scene(
     atlas, offs, ws, hs = _build_atlas(texture_paths, texture_budget)
 
     # ---- acceleration structure -------------------------------------------------
-    # Brute-force broadcast beats tree walks below a few hundred primitives
-    # (every candidate is one fused VPU pass); beyond that, build the flat BVH.
+    # Brute-force sweeps beat tree walks below a few hundred primitives
+    # (every candidate is one fused VPU pass); beyond that, build the flat
+    # BVH.  ``use_bvh=False`` forces the sequential fori sweep even for big
+    # scenes — on backends where vector gathers are expensive (see
+    # QUIRKS/perf notes) the gather-heavy BVH walk can lose to the
+    # scalar-indexed sweep.
     flat_bvh = None
-    if len(tris) > BVH_THRESHOLD:
+    if use_bvh is None:
+        use_bvh = len(tris) > BVH_THRESHOLD
+    if use_bvh and len(tris) > 0:
         from .ops import bvh as bvh_mod
 
         v0 = np.stack([np.asarray(t.v0.to_np()) for t in tris])

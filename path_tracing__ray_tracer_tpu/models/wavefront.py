@@ -58,6 +58,7 @@ class WavefrontRenderer(BaseRenderer):
         jitter: str = "diagonal",  # 'diagonal' (reference quirk) | 'independent' | 'center'
         mesh=None,
         texture_budget: int = 0,  # 0 = reference-exact full-res atlas
+        compile_overrides: Optional[dict] = None,  # extra compile_scene kwargs
     ):
         super().__init__(name)
         self.chunk_rays = int(chunk_rays)
@@ -66,6 +67,7 @@ class WavefrontRenderer(BaseRenderer):
         self.jitter = jitter
         self.mesh = mesh
         self.texture_budget = int(texture_budget)
+        self.compile_overrides = dict(compile_overrides or {})
         self._scene_cache: Dict[Tuple[int, str, bool], CompiledScene] = {}
         self._jit_cache: Dict[Tuple, Callable] = {}
         # progressive-accumulation hook (reference frame_count analogue,
@@ -74,13 +76,15 @@ class WavefrontRenderer(BaseRenderer):
 
     # -- scene compilation (cached) -----------------------------------------
     def compiled(self, scene: Scene) -> CompiledScene:
-        key = (id(scene), self.convention, self.gpu_parity, self.texture_budget)
+        key = (id(scene), self.convention, self.gpu_parity, self.texture_budget,
+               tuple(sorted(self.compile_overrides.items())))
         if key not in self._scene_cache:
             cs = compile_scene(
                 scene,
                 convention=self.convention,
                 gpu_parity=self.gpu_parity,
                 texture_budget=self.texture_budget,
+                **self.compile_overrides,
             )
             self._scene_cache[key] = cs
             log_event("scene_compiled", renderer=self.name, **scene_summary(cs))
