@@ -215,12 +215,22 @@ def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int)
         path_bounce_pallas,
     )
     from ..ops.pallas.intersect_pallas import pack_scene_blob
+    from ..ops.pallas.texture_pallas import (
+        fits_mxu_atlas,
+        pack_mxu_atlas,
+        resolve_base_color_mxu,
+    )
 
     blob = pack_scene_blob(cs)
     mat_blob = pack_mat_blob(cs)
     light_blob = pack_light_blob(cs)
     n = org.x.shape
     zero = _zero(n)
+    # budget-limited atlases fit VMEM: fetch texels with MXU one-hot matmuls
+    # instead of the ~10 ns/element HLO gather (bit-identical; see
+    # ops/pallas/texture_pallas.py)
+    use_mxu_tex = fits_mxu_atlas(cs) and (n[0] % 1024 == 0)
+    mxu_tables = pack_mxu_atlas(cs) if use_mxu_tex else None
 
     def cond(state):
         depth, *_rest, active = state
@@ -232,14 +242,19 @@ def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int)
             cs, blob, mat_blob, light_blob, o, d, thr, key, depth,
             t_min=_T_MIN, t_max=_T_MAX,
         )
-        base = resolve_base_color(
-            cs,
-            out.mat_color,
-            (out.tex_id >= 0.0).astype(jnp.float32),
-            out.tex_id.astype(jnp.int32),
-            out.u,
-            out.v,
-        )
+        if use_mxu_tex:
+            base = resolve_base_color_mxu(
+                cs, mxu_tables, out.mat_color, out.tex_id, out.u, out.v
+            )
+        else:
+            base = resolve_base_color(
+                cs,
+                out.mat_color,
+                (out.tex_id >= 0.0).astype(jnp.float32),
+                out.tex_id.astype(jnp.int32),
+                out.u,
+                out.v,
+            )
         contrib = thr * out.w_sky + thr * base * out.w_nee
         color = color + V3.where(active, contrib, zero)
 
