@@ -115,8 +115,70 @@ def _direct_lighting(cs, hit, base_color, mats, view_dir, variant: WhittedVarian
     return local + jax.lax.fori_loop(0, n_lights, light_body, zero)
 
 
+def _whitted_radiance_pallas(cs, org: V3, rd: V3, max_depth: int,
+                             variant: WhittedVariant) -> V3:
+    """Whitted bounce loop around the fused megakernel
+    (``ops/pallas/whitted_pallas.py``): closest hit + the whole 16-light
+    shadow loop + Phong in one kernel per bounce; the texture enters as
+    ``color += atten·(base·A + W)`` in this glue.  The carried attenuation is
+    a scalar (reference semantics), so the gather is off the critical path.
+    """
+    from ..ops.pallas.bounce_pallas import pack_light_blob, pack_mat_blob
+    from ..ops.pallas.intersect_pallas import pack_scene_blob
+    from ..ops.pallas.whitted_pallas import whitted_bounce_pallas
+
+    blob = pack_scene_blob(cs)
+    mat_blob = pack_mat_blob(cs)
+    light_blob = pack_light_blob(cs)
+    n = org.x.shape
+    zero = V3.full(0.0, n)
+
+    def cond(state):
+        depth, *_rest, active = state
+        return (depth < max_depth) & jnp.any(active)
+
+    def body(state):
+        depth, o, d, atten, color, active = state
+        out = whitted_bounce_pallas(
+            cs, blob, mat_blob, light_blob, o, d, depth, variant,
+            t_min=_T_MIN, t_max=_T_MAX,
+        )
+        base = resolve_base_color(
+            cs,
+            out.mat_color,
+            (out.tex_id >= 0.0).astype(jnp.float32),
+            out.tex_id.astype(jnp.int32),
+            out.u,
+            out.v,
+        )
+        lane = active & out.hit
+        contrib = (base * out.a + V3(out.w, out.w, out.w)) * atten
+        color = color + V3.where(lane, contrib, zero)
+
+        cont = lane & out.cont & (depth < max_depth - 1)
+        atten = jnp.where(cont, atten * out.mult, atten)
+        o = V3.where(cont, out.new_org, o)
+        d = V3.where(cont, out.new_dir, d)
+        return depth + 1, o, d, atten, color, cont
+
+    init = (
+        jnp.int32(0),
+        org,
+        rd,
+        jnp.ones(n, jnp.float32),
+        zero,
+        jnp.ones(n, dtype=bool),
+    )
+    *_s, color, _a = jax.lax.while_loop(cond, body, init)
+    return color
+
+
 def whitted_radiance(cs, org: V3, rd: V3, max_depth: int, variant: WhittedVariant) -> V3:
     """Trace one batch of rays to completion, returning radiance."""
+    from ..ops.intersect import _pallas_enabled
+
+    if _pallas_enabled(cs) and org.x.shape[0] % 128 == 0:
+        return _whitted_radiance_pallas(cs, org, rd, max_depth, variant)
 
     def cond(state):
         depth, *_rest, active = state
