@@ -87,7 +87,7 @@ def main() -> int:
         width=2000, height=1500, samples_per_pixel=25, max_depth=16
     )
     wcam = ptrt.CustomSceneBuilder().create_camera(2000 / 1500)
-    whitted.render_sums(scene, wcam, wsettings)  # warmup/compile
+    whitted.render(scene, wcam, wsettings)  # warmup/compile (full pipeline)
     t0 = time.time()
     wimg = whitted.render(scene, wcam, wsettings)
     whitted_s = time.time() - t0

@@ -204,8 +204,10 @@ def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
 
 # depth at which the megakernel path compacts surviving lanes: Russian
 # roulette (depth ≥ 3) kills most paths by bounce 4, so full-width bounces
-# past this point mostly process dead lanes
+# past this point mostly process dead lanes.  Compaction costs ~one bounce of
+# gathers, so it only engages for deep renders where the saved tail pays it.
 _COMPACT_SPLIT = 4
+_COMPACT_MIN_DEPTH = 10  # measured neutral at depth 8, winning from ~10+
 _COMPACT_MIN_CAP = 1024
 
 
@@ -280,7 +282,7 @@ def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int)
         return o, d, thr, color, live
 
     # ---- stage A: full-width bounces --------------------------------------
-    split = min(_COMPACT_SPLIT, max_depth)
+    split = min(_COMPACT_SPLIT, max_depth) if max_depth >= _COMPACT_MIN_DEPTH else max_depth
 
     def cond_a(state):
         depth, *_rest, active = state
