@@ -25,7 +25,7 @@ the device path.
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ take the BVH path.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

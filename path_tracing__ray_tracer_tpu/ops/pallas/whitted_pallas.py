@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...compiler import CompiledScene
 from ..v3 import V3
 from .intersect_pallas import LANES, ROW_BLOCK, blob_layout, _sweep_prims
-from .bounce_pallas import _mat_sweep_select, _MAT_FIELDS
+from .bounce_pallas import _mat_sweep_select
 
 _EPS = 1e-3
 

@@ -9,8 +9,6 @@ triangles total, exercising the flat-BVH path end to end.
 """
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from ..core import Camera, Material, Plane, Scene, Triangle, Vec3, create_area_light
