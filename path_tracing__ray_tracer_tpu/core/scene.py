@@ -39,6 +39,12 @@ class RenderSettings:
 class Scene:
     """Object list + light samples + global lighting constants
     (reference: ``core/scene.py:27-64``).
+
+    A host-side *description*: renderers never trace through it — they lower
+    it once via :func:`path_tracing__ray_tracer_tpu.compiler.compile_scene`.
+    The ``hit`` method is retained as the slow oracle for tests, and the
+    ``ambient``/``light_color`` globals are consumed only by the
+    ``cpu_raytracer`` physics (SURVEY.md §2 quirk 12).
     """
 
     def __init__(self):
@@ -51,30 +57,41 @@ class Scene:
     def add_object(self, obj: Hittable):
         self.objects.append(obj)
 
-    def build_bvh(self):
-        if self.objects:
-            self.bvh_root = BVHNode(self.objects, 0, len(self.objects))
-
     def add_light_sample(self, pos: Vec3):
         self.lights.append(pos)
 
+    def build_bvh(self):
+        """Build the host BVH (in-place reorders ``objects`` — the reference
+        does the same, which is why quad pairing hashes rather than relying
+        on adjacency)."""
+        if self.objects:
+            self.bvh_root = BVHNode(self.objects, 0, len(self.objects))
+
+    def primitive_counts(self) -> dict:
+        """Per-type object tally (logging/diagnostics)."""
+        counts: dict = {}
+        for obj in self.objects:
+            key = type(obj).__name__
+            counts[key] = counts.get(key, 0) + 1
+        counts["lights"] = len(self.lights)
+        return counts
+
     def hit(self, ray: Ray, t_min: float, t_max: float, rec: HitRecord) -> bool:
-        """Host-side closest-hit query (oracle path; BVH if built, else linear scan)."""
+        """Host-side closest-hit query (oracle path; BVH if built, else a
+        linear scan with a shrinking upper bound)."""
         if self.bvh_root is not None:
             return self.bvh_root.hit(ray, t_min, t_max, rec)
-        closest = t_max
-        found = False
+
         probe = HitRecord()
+        found = False
+        closest = t_max
         for obj in self.objects:
-            if obj.hit(ray, t_min, closest, probe):
-                found = True
-                closest = probe.t
-                rec.t = probe.t
-                rec.point = probe.point
-                rec.normal = probe.normal
-                rec.material = probe.material
-                rec.u = probe.u
-                rec.v = probe.v
+            if not obj.hit(ray, t_min, closest, probe):
+                continue
+            found = True
+            closest = probe.t
+            rec.t, rec.point, rec.normal = probe.t, probe.point, probe.normal
+            rec.material, rec.u, rec.v = probe.material, probe.u, probe.v
         return found
 
 
