@@ -40,7 +40,7 @@ from ..ops.texture import resolve_base_color
 from ..ops.tonemap import aces
 from ..ops.v3 import V3, refract
 from .base import RendererFactory
-from .wavefront import WavefrontRenderer, pixel_coords
+from .wavefront import WavefrontRenderer
 
 _T_MIN = 1e-3
 _T_MAX = 1e6
@@ -202,172 +202,395 @@ def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
     return color
 
 
-# depth at which the megakernel path compacts surviving lanes: Russian
-# roulette (depth ≥ 3) kills most paths by bounce 4, so full-width bounces
-# past this point mostly process dead lanes.  Compaction costs ~one bounce of
-# gathers, so it only engages for deep renders where the saved tail pays it.
-_COMPACT_SPLIT = 4
-_COMPACT_MIN_DEPTH = 10  # measured neutral at depth 8, winning from ~10+
-_COMPACT_MIN_CAP = 1024
+def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth):
+    """One path-tracer bounce as a pure-XLA op, returning the same
+    ``BounceOut`` weight record as the Pallas megakernel
+    (``ops/pallas/bounce_pallas.py``): the base color enters only
+    multiplicatively, so the bounce emits shading *weights* and the shared
+    regeneration driver resolves textures and applies
 
+        radiance += thr · (w_sky + base · w_nee)
+        thr      *= rr_scale · (s_thr + base · t_thr)
 
-def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
-    """Bounce loop around the fused Pallas megakernel, with dead-lane
-    compaction.
-
-    The kernel returns multiplicative shading weights (the texture/base color
-    cannot be fetched in-kernel); this glue resolves the base color and
-    applies:  color += thr·(w_sky + base·w_nee);  thr *= rr·(s + base·t).
-
-    Occupancy collapses once Russian roulette starts (survival =
-    ``max(0.1, luma)``): measured ~3.3 effective full-width bounces of 8 paid.
-    So depths ``[0, _COMPACT_SPLIT)`` run at full width, then surviving lanes
-    are compacted (prefix-sum positions + scatter of their indices) and the
-    remaining depths run in quarter-width batches.  Per-lane arithmetic is
-    unchanged; results differ from the uncompacted loop only by float
-    addition order in the color accumulator (≤ 1 ulp per bounce).
+    Physics identical to the reference ``cuda_path_tracer.py`` (quirks
+    included; see module docstring).  ``depth`` may be per-lane.
     """
-    from ..ops.pallas.bounce_pallas import (
-        pack_light_blob,
-        pack_mat_blob,
-        path_bounce_pallas,
+    from ..ops.pallas.bounce_pallas import BounceOut
+
+    n = o.x.shape
+    depth = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), n)
+    hit = scene_hit(cs, o, d, _T_MIN, _T_MAX)
+    mats = gather_material(cs.materials, hit.prim)
+    (mcolor, diffuse, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
+    normal = hit.normal
+    point = hit.point
+    above = point + normal * _EPS_OFFSET
+
+    w_sky = jnp.where(hit.hit, 0.0, jnp.float32(_SKY))
+
+    # ---- next-event estimation (every bounce, every material) --------------
+    if cs.n_lights > 0:
+        r_light = rng.uniform(key, depth, _U_LIGHT)
+        ldir, _dist, pdf = pick_light(cs, point, r_light)
+        occluded = scene_hit_any(cs, above, ldir, _T_MIN, _T_MAX)  # quirk: 1e6
+        cos_theta = jnp.maximum(ldir.dot(normal), 0.0)
+        is_glass_cls = refractive > 0.5
+        is_mirror_cls = reflective > 0.7
+        intensity = jnp.where(is_glass_cls, 4.0, jnp.where(is_mirror_cls, 2.5, 2.0))
+        multiplier = jnp.where(is_glass_cls, 0.6, jnp.where(is_mirror_cls, 0.8, 1.0))
+        w_nee = jnp.where(
+            hit.hit & ~occluded,
+            diffuse * cos_theta * intensity * multiplier / pdf,
+            0.0,
+        )
+    else:
+        w_nee = jnp.zeros_like(w_sky)
+
+    # ---- Russian roulette from depth >= 3 -----------------------------------
+    survival = jnp.maximum(0.1, thr.luminance())
+    rr_on = depth >= 3
+    killed = rr_on & (rng.uniform(key, depth, _U_RR) > survival)
+    rr_scale = jnp.where(rr_on & ~killed, 1.0 / survival, 1.0)
+
+    # ---- scatter event -------------------------------------------------------
+    choice = rng.uniform(key, depth, _U_EVENT)
+    r1 = rng.uniform(key, depth, _U_HEMI1)
+    r2 = rng.uniform(key, depth, _U_HEMI2)
+
+    refl_dir = d.reflect(normal)
+    hemi_dir = cosine_hemisphere(normal, r1, r2)
+
+    # glass refraction event (cuda_path_tracer.py:328-388)
+    cos_i = jnp.maximum(0.0, -d.dot(normal))
+    entering = cos_i > 0.0
+    eta = jnp.where(entering, 1.0 / ior, ior)
+    outward = V3.where(entering, normal, -normal)
+    refr_ok, refr_dir = refract(d, outward, eta)
+    refr_org = V3.where(entering, point - normal * _EPS_OFFSET, above)
+
+    glass = refractive > 0.1
+    mirror = ~glass & (reflective > 0.5)
+    ev_refract = glass & (choice < _P_REFRACT)
+    ev_reflect = glass & (choice >= _P_REFRACT) & (choice < _P_REFRACT + _P_REFLECT)
+    ev_diffuse = glass & (choice >= _P_REFRACT + _P_REFLECT)
+
+    new_d = V3.where(
+        ev_refract,
+        V3.where(refr_ok, refr_dir, refl_dir),  # TIR falls back to mirror
+        V3.where(ev_reflect | mirror, refl_dir, hemi_dir),
     )
-    from ..ops.pallas.intersect_pallas import pack_scene_blob
+    new_o = V3.where(
+        ev_refract,
+        V3.where(refr_ok, refr_org, above),
+        above,  # reflect/diffuse/mirror/lambertian all offset along +n
+    )
+
+    # throughput multiplier in (s + base·t) form (reference constants)
+    s_thr = jnp.where(
+        ev_refract,
+        jnp.where(refr_ok, refractive / _P_REFRACT, 0.9),  # TIR: flat 0.9
+        0.0,
+    )
+    t_thr = jnp.where(
+        ev_refract,
+        0.0,
+        jnp.where(
+            ev_reflect,
+            0.9 / _P_REFLECT,
+            jnp.where(
+                ev_diffuse,
+                diffuse * 3.0 / _P_DIFFUSE,
+                jnp.where(mirror, reflective, diffuse),
+            ),
+        ),
+    )
+
+    return BounceOut(
+        hit=hit.hit,
+        killed=killed,
+        w_sky=w_sky,
+        w_nee=w_nee,
+        rr_scale=rr_scale,
+        s_thr=s_thr,
+        t_thr=t_thr,
+        new_org=new_o,
+        new_dir=new_d,
+        u=hit.u,
+        v=hit.v,
+        tex_id=jnp.where(has_tex > 0.5, tex_id.astype(jnp.float32), -1.0),
+        mat_color=mcolor,
+    )
+
+
+def _make_bounce_and_resolve(cs, width_hint: int):
+    """(bounce_fn, resolve_fn) for this scene: the fused Pallas megakernel on
+    TPU (scene fits SMEM), the XLA formulation elsewhere — both returning the
+    same ``BounceOut`` record, verified equivalent in tests."""
+    from ..ops.intersect import _pallas_enabled
     from ..ops.pallas.texture_pallas import (
         fits_mxu_atlas,
         pack_mxu_atlas,
         resolve_base_color_mxu,
     )
 
-    blob = pack_scene_blob(cs)
-    mat_blob = pack_mat_blob(cs)
-    light_blob = pack_light_blob(cs)
-    n = org.x.shape
-    zero = _zero(n)
-    # budget-limited atlases fit VMEM: fetch texels with MXU one-hot matmuls
-    # instead of the ~10 ns/element HLO gather (bit-identical; see
-    # ops/pallas/texture_pallas.py)
-    use_mxu_tex = fits_mxu_atlas(cs) and (n[0] % 1024 == 0)
+    if _pallas_enabled(cs):
+        from ..ops.pallas.bounce_pallas import (
+            pack_light_blob,
+            pack_mat_blob,
+            path_bounce_pallas,
+        )
+        from ..ops.pallas.intersect_pallas import pack_scene_blob
+
+        blob = pack_scene_blob(cs)
+        mat_blob = pack_mat_blob(cs)
+        light_blob = pack_light_blob(cs)
+
+        def bounce_fn(o, d, thr, key, depth):
+            return path_bounce_pallas(
+                cs, blob, mat_blob, light_blob, o, d, thr, key, depth,
+                t_min=_T_MIN, t_max=_T_MAX,
+            )
+    else:
+        def bounce_fn(o, d, thr, key, depth):
+            return _bounce_xla(cs, o, d, thr, key, depth)
+
+    use_mxu_tex = fits_mxu_atlas(cs) and (width_hint % 1024 == 0)
     mxu_tables = pack_mxu_atlas(cs) if use_mxu_tex else None
 
-    def bounce(depth, o, d, thr, color, active, bkey):
-        m = o.x.shape
-        out = path_bounce_pallas(
-            cs, blob, mat_blob, light_blob, o, d, thr, bkey, depth,
-            t_min=_T_MIN, t_max=_T_MAX,
-        )
-        if use_mxu_tex:
-            base = resolve_base_color_mxu(
+    def resolve_fn(out):
+        if use_mxu_tex and out.u.shape[0] % 1024 == 0:
+            return resolve_base_color_mxu(
                 cs, mxu_tables, out.mat_color, out.tex_id, out.u, out.v
             )
-        else:
-            base = resolve_base_color(
-                cs,
-                out.mat_color,
-                (out.tex_id >= 0.0).astype(jnp.float32),
-                out.tex_id.astype(jnp.int32),
-                out.u,
-                out.v,
-            )
-        contrib = thr * out.w_sky + thr * base * out.w_nee
-        color = color + V3.where(active, contrib, V3.full(0.0, m))
+        return resolve_base_color(
+            cs,
+            out.mat_color,
+            (out.tex_id >= 0.0).astype(jnp.float32),
+            out.tex_id.astype(jnp.int32),
+            out.u,
+            out.v,
+        )
 
+    return bounce_fn, resolve_fn
+
+
+def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
+    """Full-width bounce loop around the fused Pallas megakernel.
+
+    The kernel returns multiplicative shading weights (the texture/base color
+    cannot be fetched in-kernel); this glue resolves the base color and
+    applies:  color += thr·(w_sky + base·w_nee);  thr *= rr·(s + base·t).
+
+    This is the simple per-batch radiance API; the chunked render path uses
+    ``_regen_chunk`` instead, which keeps lane occupancy high by regenerating
+    finished lanes with their next sample.
+    """
+    bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, org.x.shape[0])
+    n = org.x.shape
+
+    def cond(state):
+        depth, *_rest, active = state
+        return (depth < max_depth) & jnp.any(active)
+
+    def body(state):
+        depth, o, d, thr, color, active = state
+        out = bounce_fn(o, d, thr, key, depth)
+        base = resolve_fn(out)
+        contrib = thr * out.w_sky + thr * (base * out.w_nee)
+        color = color + V3.where(active, contrib, _zero(n))
         live = active & out.hit & ~out.killed
-        thr_new = thr * out.rr_scale * (base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr))
+        thr_new = thr * out.rr_scale * (
+            base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
+        )
         thr = V3.where(live, thr_new, thr)
         live = live & (thr.max_component() >= 0.001)
-
         o = V3.where(live, out.new_org, o)
         d = V3.where(live, out.new_dir, d)
-        return o, d, thr, color, live
-
-    # ---- stage A: full-width bounces --------------------------------------
-    split = min(_COMPACT_SPLIT, max_depth) if max_depth >= _COMPACT_MIN_DEPTH else max_depth
-
-    def cond_a(state):
-        depth, *_rest, active = state
-        return (depth < split) & jnp.any(active)
-
-    def body_a(state):
-        depth, o, d, thr, color, active = state
-        return (depth + 1,) + bounce(depth, o, d, thr, color, active, key)
+        return depth + 1, o, d, thr, color, live
 
     init = (
         jnp.int32(0),
         org,
         rd,
         V3.full(1.0, n),
-        zero,
+        _zero(n),
         jnp.ones(n, dtype=bool),
     )
-    _d, o, d, thr, color, live = jax.lax.while_loop(cond_a, body_a, init)
-    if split >= max_depth:
-        return color
+    *_s, color, _a = jax.lax.while_loop(cond, body, init)
+    return color
 
-    cap = max(_COMPACT_MIN_CAP, n[0] // 4)
-    if n[0] <= cap or n[0] % cap != 0:
-        # tiny batches: just keep going full width
-        def cond_b0(state):
-            depth, *_rest, active = state
-            return (depth < max_depth) & jnp.any(active)
 
-        def body_b0(state):
-            depth, o_, d_, thr_, color_, active_ = state
-            return (depth + 1,) + bounce(depth, o_, d_, thr_, color_, active_, key)
+def _regen_chunk(
+    cs,
+    cam12,
+    pix0,
+    seed,
+    sample_base,
+    *,
+    n_pix: int,
+    width: int,
+    height: int,
+    n_samples: int,
+    max_depth: int,
+    jitter: str,
+):
+    """Radiance sums via *ray regeneration*: one persistent pool of ``n_pix``
+    lanes where a lane that finishes a path (miss / RR kill / throughput
+    cutoff / max depth) immediately starts its next (pixel, sample) work item
+    instead of idling.
 
-        *_s, color, _a = jax.lax.while_loop(
-            cond_b0, body_b0, (jnp.int32(split), o, d, thr, color, live)
+    Measured motivation (Cornell, depth 8): mean path length is 2.66 bounces,
+    so the plain per-sample loop (``n_samples × max_depth`` full-width
+    iterations) runs at ~33% lane occupancy.  Regeneration needs only
+    ``Σ path length`` iterations per lane — ~3× fewer bounce executions.
+
+    Two design points make it exact and fast:
+
+    * **Shuffled work assignment.**  Path length is strongly pixel-correlated
+      (glass-sphere pixels are always slow), so a lane that kept one pixel for
+      all its samples would straggle.  Lane ``i``'s ``s``-th item is pixel
+      ``(i + s·STRIDE) mod n_pix`` — per-sample golden-ratio offsets
+      decorrelate lane workloads, and because the permutation is a pure
+      shift, re-binning the per-(item) sums to pixels is ``n_samples`` static
+      ``jnp.roll``s, not gathers.
+    * **Narrow tail phase.**  The main loop runs while more than ``tail``
+      lanes are unfinished; the stragglers are then compacted into one small
+      batch that finishes at low width.  Contributions always accumulate in
+      (sample, depth) order per pixel, so the result is bit-identical to the
+      per-sample loop regardless of where the phase boundary falls.
+
+    RNG keys are pure functions of (seed, pixel, sample), so every radiance
+    sample is identical to the per-sample loop's — only lane scheduling
+    changes.
+    """
+    NS = int(n_samples)
+    N = int(n_pix)
+    STRIDE = (int(N * 0.6180339887) | 1) % N if NS > 1 else 0
+    total = width * height
+    iter_cap = NS * max_depth + 2  # loop provably terminates; belt-and-braces
+    bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N)
+
+    def make_ray(lane_ids, s):
+        """Camera ray + RNG key for lane ``lane_ids``'s item ``s`` — exactly
+        the per-sample loop's ray for (pixel, sample), quirks included."""
+        p_local = (lane_ids + s * STRIDE) % N
+        idx = pix0 + p_local
+        safe = jnp.minimum(idx, total - 1)
+        x = (safe % width).astype(jnp.float32)
+        y = (safe // width).astype(jnp.float32)
+        key = rng.ray_key(seed, idx, sample_base + s)
+        if jitter == "center":
+            r1 = r2 = jnp.float32(0.5)
+        else:
+            r1 = rng.uniform(key, max_depth, _U_JITX)
+            r2 = r1 if jitter == "diagonal" else rng.uniform(key, max_depth, _U_JITY)
+        u = (x + r1) / width
+        v = (y + r2) / height
+        o, d = generate_rays(cam12, u, v)
+        return o, d, key
+
+    def bounce_step(lane_ids, st):
+        """One bounce for every lane; finished lanes regenerate in place.
+        Returns the new ray state plus this iteration's (contribution, item)
+        for the caller's accumulator."""
+        o, d, thr, key, depth, s = st
+        m = o.x.shape
+        active = s < NS
+        out = bounce_fn(o, d, thr, key, depth)
+        base = resolve_fn(out)
+        contrib = thr * out.w_sky + thr * (base * out.w_nee)
+        contrib = V3.where(active, contrib, V3.full(0.0, m))
+        live = active & out.hit & ~out.killed
+        thr_new = thr * out.rr_scale * (
+            base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
         )
-        return color
+        thr = V3.where(live, thr_new, thr)
+        live = live & (thr.max_component() >= 0.001)
+        ndepth = depth + 1
+        live = live & (ndepth < max_depth)
 
-    # ---- compaction: indices of surviving lanes, order-preserving ----------
-    live_i = live.astype(jnp.int32)
-    m_live = live_i.sum()
-    pos = jnp.cumsum(live_i) - 1
-    scatter_to = jnp.where(live, pos, n[0])  # dead lanes dropped (out of range)
-    perm = jnp.zeros(n, dtype=jnp.int32).at[scatter_to].set(
-        jnp.arange(n[0], dtype=jnp.int32), mode="drop"
+        done = active & ~live
+        s2 = s + done.astype(jnp.int32)
+        o_new, d_new, key_new = make_ray(lane_ids, s2)
+        regen = done & (s2 < NS)
+        o = V3.where(regen, o_new, V3.where(live, out.new_org, o))
+        d = V3.where(regen, d_new, V3.where(live, out.new_dir, d))
+        thr = V3.where(regen, V3.full(1.0, m), thr)
+        key = jnp.where(regen, key_new, key)
+        depth = jnp.where(live, ndepth, jnp.int32(0))
+        return (o, d, thr, key, depth, s2), contrib, s
+
+    lane = jnp.arange(N, dtype=jnp.int32)
+    o0, d0, key0 = make_ray(lane, jnp.zeros((N,), jnp.int32))
+    state0 = (
+        o0, d0, V3.full(1.0, (N,)), key0,
+        jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32),
+    )
+    acc0 = tuple(jnp.zeros((NS, N), jnp.float32) for _ in range(3))
+
+    # ---- phase 1: full width, one-hot accumulation into (NS, N) ------------
+    tail = min(-(-max(1024, N // 64) // 1024) * 1024, N)
+    item_rows = jax.lax.broadcasted_iota(jnp.int32, (NS, N), 0)
+
+    def cond1(carry):
+        st, _acc, it = carry
+        return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
+
+    def body1(carry):
+        st, acc, it = carry
+        st, contrib, item = bounce_step(lane, st)
+        hit_row = item_rows == item[None, :]
+        acc = tuple(
+            a + jnp.where(hit_row, c[None, :], 0.0)
+            for a, c in zip(acc, (contrib.x, contrib.y, contrib.z))
+        )
+        return st, acc, it + 1
+
+    (o, d, thr, key, depth, s), acc, _it = jax.lax.while_loop(
+        cond1, body1, (state0, acc0, jnp.int32(0))
     )
 
-    # ---- stage B: quarter-width batches of survivors ------------------------
-    def cond_batch(state):
-        b, _color = state
-        return b * cap < m_live
+    # ---- phase 2: compact the ≤ tail stragglers, finish at low width --------
+    unfinished = s < NS
+    cnt = jnp.sum(unfinished.astype(jnp.int32))
+    pos = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(unfinished, pos, tail)
+    sel = jnp.zeros((tail,), jnp.int32).at[scatter_to].set(lane, mode="drop")
+    valid = jnp.arange(tail, dtype=jnp.int32) < cnt
 
-    def body_batch(state):
-        b, color_ = state
-        start = b * cap
-        bidx = jax.lax.dynamic_slice(perm, (start,), (cap,))
-        in_range = start + jnp.arange(cap, dtype=jnp.int32) < m_live
+    st_t = (
+        o.take(sel), d.take(sel), thr.take(sel), key[sel], depth[sel],
+        jnp.where(valid, s[sel], NS),
+    )
 
-        bo = o.take(bidx)
-        bd = d.take(bidx)
-        bthr = thr.take(bidx)
-        bkey = key[bidx]
+    def cond2(carry):
+        st, _acc, it = carry
+        return jnp.any(st[5] < NS) & (it < iter_cap)
 
-        def cond_inner(st):
-            depth, *_rest, active = st
-            return (depth < max_depth) & jnp.any(active)
-
-        def body_inner(st):
-            depth, o_, d_, thr_, c_, active_ = st
-            return (depth + 1,) + bounce(depth, o_, d_, thr_, c_, active_, bkey)
-
-        *_s2, bcolor, _a2 = jax.lax.while_loop(
-            cond_inner,
-            body_inner,
-            (jnp.int32(split), bo, bd, bthr, V3.full(0.0, (cap,)), in_range),
+    def body2(carry):
+        st, acc, it = carry
+        st, contrib, item = bounce_step(sel, st)
+        # contributions scatter straight into the phase-1 accumulator rows,
+        # preserving per-item (sample, depth) addition order exactly
+        item_safe = jnp.where(valid, item, NS)  # out of range → dropped
+        acc = tuple(
+            a.at[item_safe, sel].add(jnp.where(valid, c, 0.0), mode="drop")
+            for a, c in zip(acc, (contrib.x, contrib.y, contrib.z))
         )
-        add = V3.where(in_range, bcolor, V3.full(0.0, (cap,)))
-        color_ = V3(
-            color_.x.at[bidx].add(add.x, mode="drop"),
-            color_.y.at[bidx].add(add.y, mode="drop"),
-            color_.z.at[bidx].add(add.z, mode="drop"),
-        )
-        return b + 1, color_
+        return st, acc, it + 1
 
-    _b, color = jax.lax.while_loop(cond_batch, body_batch, (jnp.int32(0), color))
-    return color
+    _st, acc, _it2 = jax.lax.while_loop(cond2, body2, (st_t, acc, jnp.int32(0)))
+
+    # ---- re-bin items to pixels: inverse of the shift permutation ----------
+    out = V3(acc[0][0], acc[1][0], acc[2][0])
+    for si in range(1, NS):
+        shift = (si * STRIDE) % N
+        out = out + V3(
+            jnp.roll(acc[0][si], shift),
+            jnp.roll(acc[1][si], shift),
+            jnp.roll(acc[2][si], shift),
+        )
+    return out
 
 
 @partial(
@@ -392,23 +615,23 @@ def _path_chunk(
 
     Per-sample pixel jitter is uniform (``cuda_path_tracer.py:34-36``); in
     ``faithful`` mode the x and y jitters share one draw (the reference reads
-    the unadvanced RNG state twice — SURVEY.md §2 quirk 2).
+    the unadvanced RNG state twice — SURVEY.md §2 quirk 2).  Work is scheduled
+    by ray regeneration (see ``_regen_chunk``); the result is bit-identical to
+    the straightforward per-sample loop over ``path_radiance``.
     """
-    idx, x, y = pixel_coords(pix0, n_pix, width, height)
-
-    def sample_body(s, acc):
-        key = rng.ray_key(seed, idx, sample_base + s)
-        if jitter == "center":
-            r1 = r2 = jnp.float32(0.5)
-        else:
-            r1 = rng.uniform(key, max_depth, _U_JITX)
-            r2 = r1 if jitter == "diagonal" else rng.uniform(key, max_depth, _U_JITY)
-        u = (x + r1) / width
-        v = (y + r2) / height
-        o, d = generate_rays(cam12, u, v)
-        return acc + path_radiance(cs, o, d, key, max_depth)
-
-    return jax.lax.fori_loop(0, n_samples, sample_body, V3.full(0.0, (n_pix,)))
+    return _regen_chunk(
+        cs,
+        cam12,
+        pix0,
+        seed,
+        sample_base,
+        n_pix=n_pix,
+        width=width,
+        height=height,
+        n_samples=n_samples,
+        max_depth=max_depth,
+        jitter=jitter,
+    )
 
 
 class TPUPathTracer(WavefrontRenderer):

@@ -109,7 +109,9 @@ def _path_bounce_kernel(
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     key = key_ref[:]
-    depth_u32 = depth_ref[0, 0].astype(jnp.uint32)
+    # per-lane bounce depth: the ray-regeneration driver mixes lanes at
+    # different depths in one batch (models/path_tracer.py)
+    depth_u32 = depth_ref[:].astype(jnp.uint32)
 
     # ---- closest hit with carried attributes -------------------------------
     best_t, best_i, nx, ny, nz, uu, vv = _sweep_prims(
@@ -304,7 +306,10 @@ def path_bounce_pallas(
     def rows2(a):
         return a.reshape(rows, LANES)
 
-    depth_arr = jnp.asarray(depth, jnp.int32).reshape(1, 1)
+    # depth is per-lane (regeneration mixes depths); scalars broadcast
+    depth_arr = rows2(jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,)))
+
+    ispec = pl.BlockSpec((ROW_BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         partial(
@@ -312,7 +317,7 @@ def path_bounce_pallas(
             float(t_max),
         ),
         grid=(pl.cdiv(rows, ROW_BLOCK),),
-        in_specs=[smem, smem, smem, smem] + [spec] * 10,
+        in_specs=[smem, smem, smem, ispec] + [spec] * 10,
         out_specs=[spec] * 19,
         out_shape=[shape] * 19,
     )(
