@@ -50,13 +50,14 @@ def run_config(idx: int, scale: float) -> dict:
                                                 samples_per_pixel=spp(1024),
                                                 max_depth=8),
             dict(texture_budget=256, sample_group=16, chunk_rays=1 << 21)),
-        # the gather-heavy BVH walk loses to the scalar-indexed fori sweep on
-        # this backend (vector gathers ~8 ns/elem; see perf notes) — force
-        # the sweep and keep per-executable work below the TPU watchdog
-        5: ("tpu_path_raytracer", MeshSceneBuilder(grid=3, subdivisions=2),
+        # mesh-heavy BVH stress: the block-synchronous Pallas traversal
+        # (ops/pallas/bvh_pallas.py) walks the SAH tree from SMEM — the
+        # gather-free replacement for the round-1 XLA walk that lost to
+        # brute force.  Chunks kept moderate for the TPU watchdog.
+        5: ("tpu_path_raytracer", MeshSceneBuilder(grid=3, subdivisions=3),
             dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
-            dict(sample_group=2, chunk_rays=1 << 18,
-                 compile_overrides={"use_bvh": False})),
+            dict(sample_group=8, chunk_rays=1 << 20,
+                 compile_overrides={"use_bvh": True})),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]
     scene = builder.build_scene()
@@ -64,6 +65,15 @@ def run_config(idx: int, scale: float) -> dict:
     settings = ptrt.RenderSettings(**cfg)
     renderer = ptrt.RendererFactory.create(renderer_name, **kwargs)
 
+    # warmup run absorbs jit/Mosaic compiles; a different seed keeps the
+    # measured run's device buffers distinct (the tunnel memoizes
+    # identical-buffer executions — see CLAUDE.md)
+    renderer.seed = 1
+    t0 = time.time()
+    renderer.render(scene, camera, settings)
+    warmup = time.time() - t0
+
+    renderer.seed = 0
     t0 = time.time()
     image = renderer.render(scene, camera, settings)
     elapsed = time.time() - t0
@@ -75,8 +85,10 @@ def run_config(idx: int, scale: float) -> dict:
         "renderer": renderer_name,
         "resolution": f"{cfg['width']}x{cfg['height']}",
         "spp": cfg["samples_per_pixel"],
+        "spp_scale": scale,  # explicit: spp above is already scaled by this
         "max_depth": cfg["max_depth"],
         "seconds": round(elapsed, 2),
+        "warmup_seconds": round(warmup, 2),
         "mrays_per_sec": round(total_rays / elapsed / 1e6, 2),
     }
 

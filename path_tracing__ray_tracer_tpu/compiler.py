@@ -417,7 +417,10 @@ def compile_scene(
         v2 = np.stack([np.asarray(t.v2.to_np()) for t in tris])
         tri_min = np.minimum(np.minimum(v0, v1), v2)
         tri_max = np.maximum(np.maximum(v0, v1), v2)
-        flat_bvh = bvh_mod.to_device(bvh_mod.build_bvh(tri_min, tri_max))
+        # vertices enable the Pallas block-synchronous traversal blobs
+        flat_bvh = bvh_mod.to_device(
+            bvh_mod.build_bvh(tri_min, tri_max), v0=v0, v1=v1, v2=v2
+        )
 
     return CompiledScene(
         bvh=flat_bvh,

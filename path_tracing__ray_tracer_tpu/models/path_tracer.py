@@ -55,6 +55,13 @@ _U_JITX, _U_JITY = 0, 1
 # glass event mixture (cuda_path_tracer.py:323-326)
 _P_REFRACT, _P_REFLECT, _P_DIFFUSE = 0.6, 0.25, 0.15
 
+# Shuffled work assignment in the regeneration scheduler (see _regen_chunk).
+# Shuffling equalizes lane workloads (2.1x on the Cornell bench).  Measured
+# on the 11.5K-tri mesh scene with the Pallas BVH walk: the weakened
+# block-frustum coherence does NOT hurt (4.49 Mrays/s shuffled vs 4.14
+# unshuffled — occupancy wins).  Read at trace time; flip for experiments.
+_REGEN_SHUFFLE = True
+
 
 def _zero(shape):
     return V3.full(0.0, shape)
@@ -465,7 +472,7 @@ def _regen_chunk(
     """
     NS = int(n_samples)
     N = int(n_pix)
-    STRIDE = (int(N * 0.6180339887) | 1) % N if NS > 1 else 0
+    STRIDE = (int(N * 0.6180339887) | 1) % N if (NS > 1 and _REGEN_SHUFFLE) else 0
     total = width * height
     iter_cap = NS * max_depth + 2  # loop provably terminates; belt-and-braces
     bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N)

@@ -41,7 +41,10 @@ from .wavefront import WavefrontRenderer, pixel_coords
 
 _T_MIN = 1e-3
 _EPS_OFFSET = 1e-3
-ORACLE_MAX_DEPTH = 8  # fork-recursion unroll cap (2^d cost)
+ORACLE_MAX_DEPTH = 8  # fork-evaluation depth cap (2^d lanes; see QUIRKS.md)
+# deepest-level lane budget: bounds the level arrays' memory (the forward
+# pass saves ~6 floats per lane across all levels ≈ 2x the deepest level)
+_LEVEL_LANE_BUDGET = 1 << 22
 
 
 def _shade_local(cs, hit, base_color, mats, ray_origin: V3) -> V3:
@@ -79,53 +82,139 @@ def _shade_local(cs, hit, base_color, mats, ray_origin: V3) -> V3:
     return local + jax.lax.fori_loop(0, n_lights, light_body, zero)
 
 
+def _interleave(a: V3, b: V3) -> V3:
+    """Children of parent ``j`` land at ``2j`` (reflection) and ``2j+1``
+    (refraction) — a pure reshape, so the level fan-out needs no gathers."""
+    def ix(u, v):
+        return jnp.stack([u, v], axis=1).reshape(-1)
+
+    return V3(ix(a.x, b.x), ix(a.y, b.y), ix(a.z, b.z))
+
+
 def _trace(cs, org: V3, rd: V3, depth: int, max_depth: int, active) -> V3:
-    """Statically-unrolled fork recursion over masked lanes.
+    """Level-synchronous evaluation of the reference's fork recursion.
 
-    ``active`` gates work only logically (lanes still compute); it keeps the
-    recursion semantics identical to the reference's early returns.
+    The reference CPU renderer forks into *both* reflection and refraction
+    (``cpu_renderer.py:113-142``).  Round 1 statically unrolled that
+    recursion — 2^depth inlined subgraphs, 244 s to compile at depth 8.  This
+    formulation evaluates the same tree **level by level**: level ``k`` is
+    one batch of ``n·2^k`` lanes (reflection/refraction children interleaved),
+    so the compiled graph is ``depth`` stages, and the backward pass combines
+    ``local·(1−kr−kt) + kr·R + kt·T`` bottom-up with reshapes only.
+    Per-lane arithmetic is identical to the recursive form.
     """
-    n = org.x.shape
-    hit = scene_hit(cs, org, rd, _T_MIN, 1e30)
-    mats = gather_material(cs.materials, hit.prim)
-    (mcolor, _diff, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
-    base = resolve_base_color(cs, mcolor, has_tex, tex_id, hit.u, hit.v)
+    n = int(org.x.shape[0])
 
-    local = _shade_local(cs, hit, base, mats, org)
+    def level_segment(o, d, act):
+        """One constant-width (n-lane) segment of a level: shade + fork.
 
-    lane = active & hit.hit
-    normal = hit.normal
-    point = hit.point
+        Constant width matters: every Pallas intersect kernel inside gets
+        compiled for exactly one shape, so the whole oracle costs one Mosaic
+        compile set instead of one per level."""
+        hit = scene_hit(cs, o, d, _T_MIN, 1e30)
+        mats = gather_material(cs.materials, hit.prim)
+        (mcolor, _diff, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
+        base = resolve_base_color(cs, mcolor, has_tex, tex_id, hit.u, hit.v)
+        local = _shade_local(cs, hit, base, mats, o)
+        lane = act & hit.hit
 
-    reflected = V3.full(0.0, n)
-    refracted = V3.full(0.0, n)
-    if depth < max_depth:
+        normal = hit.normal
+        point = hit.point
         # reflection branch (cpu_renderer.py:113-117); Ray() normalizes
-        refl_dir = rd.reflect(normal).normalized()
+        refl_dir = d.reflect(normal).normalized()
         refl_org = point + normal * _EPS_OFFSET
         want_refl = lane & (reflective > 0.0)
-        reflected = _trace(cs, refl_org, refl_dir, depth + 1, max_depth, want_refl)
 
         # refraction branch (cpu_renderer.py:119-142)
-        inside = rd.dot(normal) > 0.0
+        inside = d.dot(normal) > 0.0
         outward = V3.where(inside, -normal, normal)
         eta = jnp.where(inside, ior, 1.0 / ior)
-        ok, refr_dir = refract(rd, outward, eta)
+        ok, refr_dir = refract(d, outward, eta)
         # quirk: refracted rays always offset along −n, even when exiting
         refr_org = point - normal * _EPS_OFFSET
-        tir_dir = rd.reflect(normal).normalized()
-        tir_org = point + normal * _EPS_OFFSET
-        branch_dir = V3.where(ok, refr_dir.normalized(), tir_dir)
-        branch_org = V3.where(ok, refr_org, tir_org)
+        branch_dir = V3.where(ok, refr_dir.normalized(), refl_dir)
+        branch_org = V3.where(ok, refr_org, refl_org)
         want_refr = lane & (refractive > 0.0)
-        refracted = _trace(cs, branch_org, branch_dir, depth + 1, max_depth, want_refr)
 
-    color = (
-        local * (1.0 - reflective - refractive)
-        + reflected * reflective
-        + refracted * refractive
-    )
-    return V3.where(lane, color, V3.full(0.0, n))
+        child_o = _interleave(refl_org, branch_org)
+        child_d = _interleave(refl_dir, branch_dir)
+        child_act = jnp.stack([want_refl, want_refr], axis=1).reshape(-1)
+        return (local, reflective, refractive, lane), (child_o, child_d, child_act)
+
+    o, d, act = org, rd, active
+    saved = []
+
+    # ---- forward: shade every level, fan out masked children ----------------
+    for k in range(max_depth + 1):
+        segs = 2 ** k
+        if segs == 1:
+            (local, kr, kt, lane), (child_o, child_d, child_act) = level_segment(
+                o, d, act
+            )
+        else:
+            # level k is 2^k constant-width segments processed sequentially
+            W = segs * n
+
+            def seg_body(j, carry):
+                (lx, ly, lz, kr_a, kt_a, lane_a,
+                 cox, coy, coz, cdx, cdy, cdz, ca) = carry
+                s = j * n
+
+                def seg(a):
+                    return jax.lax.dynamic_slice(a, (s,), (n,))
+
+                so = V3(seg(o.x), seg(o.y), seg(o.z))
+                sd = V3(seg(d.x), seg(d.y), seg(d.z))
+                (loc, kr_s, kt_s, lane_s), (co, cd, cact) = level_segment(
+                    so, sd, seg(act)
+                )
+
+                def put(dst, val, off):
+                    return jax.lax.dynamic_update_slice(dst, val, (off,))
+
+                return (
+                    put(lx, loc.x, s), put(ly, loc.y, s), put(lz, loc.z, s),
+                    put(kr_a, kr_s, s), put(kt_a, kt_s, s), put(lane_a, lane_s, s),
+                    put(cox, co.x, 2 * s), put(coy, co.y, 2 * s), put(coz, co.z, 2 * s),
+                    put(cdx, cd.x, 2 * s), put(cdy, cd.y, 2 * s), put(cdz, cd.z, 2 * s),
+                    put(ca, cact, 2 * s),
+                )
+
+            zf = jnp.zeros((W,), jnp.float32)
+            z2 = jnp.zeros((2 * W,), jnp.float32)
+            init = (zf, zf, zf, zf, zf, jnp.zeros((W,), bool),
+                    z2, z2, z2, z2, z2, z2, jnp.zeros((2 * W,), bool))
+            (lx, ly, lz, kr, kt, lane,
+             cox, coy, coz, cdx, cdy, cdz, child_act) = jax.lax.fori_loop(
+                0, segs, seg_body, init
+            )
+            local = V3(lx, ly, lz)
+            child_o = V3(cox, coy, coz)
+            child_d = V3(cdx, cdy, cdz)
+
+        saved.append((local, kr, kt, lane))
+        if k == max_depth:
+            break
+        o, d, act = child_o, child_d, child_act
+
+    # ---- backward: combine children into parents ----------------------------
+    color = None
+    for local, kr, kt, lane in reversed(saved):
+        if color is None:
+            c = local * (1.0 - kr - kt)
+        else:
+            pair_x = color.x.reshape(-1, 2)
+            pair_y = color.y.reshape(-1, 2)
+            pair_z = color.z.reshape(-1, 2)
+            reflected = V3(pair_x[:, 0], pair_y[:, 0], pair_z[:, 0])
+            refracted = V3(pair_x[:, 1], pair_y[:, 1], pair_z[:, 1])
+            c = (
+                local * (1.0 - kr - kt)
+                + reflected * kr
+                + refracted * kt
+            )
+        color = V3.where(lane, c, V3.full(0.0, lane.shape))
+    return color
 
 
 @partial(
@@ -201,6 +290,19 @@ class CPUParityRayTracer(WavefrontRenderer):
 
     def _samples_per_group(self, spp: int) -> int:
         return max(1, int(math.isqrt(spp)) ** 2)
+
+    def _plan(self, w, h, spp, max_depth):
+        # level-synchronous evaluation allocates n_pix·2^depth lanes at the
+        # deepest level; shrink the pixel chunk so that stays bounded
+        depth = min(max_depth, ORACLE_MAX_DEPTH)
+        group = self._samples_per_group(spp)
+        budget_rays = max(1024, _LEVEL_LANE_BUDGET >> depth) * max(group, 1)
+        old = self.chunk_rays
+        self.chunk_rays = min(old, budget_rays)
+        try:
+            return super()._plan(w, h, spp, max_depth)
+        finally:
+            self.chunk_rays = old
 
     def _make_chunk_fn(self, static_key):
         n_pix, w, h, spp, max_depth, group, jitter = static_key

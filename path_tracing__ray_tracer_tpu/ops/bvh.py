@@ -39,6 +39,10 @@ class FlatBVH(NamedTuple):
     skip: jnp.ndarray  # (M,) i32: next node when this box is missed / leaf done
     is_leaf: jnp.ndarray  # (M,) bool
     slots: jnp.ndarray  # (M, LEAF_SIZE) i32 triangle ids, -1 padded
+    # scalar blobs for the Pallas block-synchronous walk (pallas/bvh_pallas.py);
+    # None when built without vertex data
+    tree_blob: jnp.ndarray = None  # (1, 8M) f32 node records
+    slot_blob: jnp.ndarray = None  # (1, 10K) f32 leaf-ordered triangle records
 
     @property
     def n_nodes(self) -> int:
@@ -191,13 +195,27 @@ def build_bvh(
     }
 
 
-def to_device(arrs) -> FlatBVH:
+def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
+              v2: np.ndarray = None) -> FlatBVH:
+    """Upload a ``build_bvh`` result; with triangle vertices also pack the
+    scalar blobs that enable the Pallas block-synchronous traversal."""
+    tree_blob = slot_blob = None
+    if v0 is not None:
+        from .pallas.bvh_pallas import pack_blobs
+
+        tree_np, slot_np = pack_blobs(arrs, np.asarray(v0, np.float32),
+                                      np.asarray(v1, np.float32),
+                                      np.asarray(v2, np.float32))
+        tree_blob = jnp.asarray(tree_np)
+        slot_blob = jnp.asarray(slot_np)
     return FlatBVH(
         lo=jnp.asarray(arrs["lo"]),
         hi=jnp.asarray(arrs["hi"]),
         skip=jnp.asarray(arrs["skip"]),
         is_leaf=jnp.asarray(arrs["is_leaf"]),
         slots=jnp.asarray(arrs["slots"]),
+        tree_blob=tree_blob,
+        slot_blob=slot_blob,
     )
 
 
@@ -297,6 +315,69 @@ def traverse_closest(
 
 
 def traverse_any(bvh: FlatBVH, tris, ro: V3, rd: V3, t_min: float, t_max):
-    """Existence-only occlusion walk: rays park (cursor → m) on first hit."""
-    best_t, best_idx = traverse_closest(bvh, tris, ro, rd, t_min, t_max)
-    return best_idx >= 0
+    """Existence-only occlusion walk: rays park (cursor → m) on first
+    accepted hit, so occluded rays stop paying for the rest of the tree."""
+    n = ro.x.shape[0]
+    m = bvh.n_nodes
+    limit = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    inv = V3(
+        1.0 / jnp.where(jnp.abs(rd.x) > 1e-12, rd.x, 1e-12),
+        1.0 / jnp.where(jnp.abs(rd.y) > 1e-12, rd.y, 1e-12),
+        1.0 / jnp.where(jnp.abs(rd.z) > 1e-12, rd.z, 1e-12),
+    )
+
+    def cond(state):
+        step, cursor, _found = state
+        return (step < m + 1) & jnp.any(cursor < m)
+
+    def body(state):
+        step, cursor, found = state
+        node = jnp.minimum(cursor, m - 1)
+        lo = bvh.lo[node]
+        hi = bvh.hi[node]
+        t0 = (lo[:, 0] - ro.x) * inv.x
+        t1 = (hi[:, 0] - ro.x) * inv.x
+        tx0, tx1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        t0 = (lo[:, 1] - ro.y) * inv.y
+        t1 = (hi[:, 1] - ro.y) * inv.y
+        ty0, ty1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        t0 = (lo[:, 2] - ro.z) * inv.z
+        t1 = (hi[:, 2] - ro.z) * inv.z
+        tz0, tz1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        enter = jnp.maximum(jnp.maximum(tx0, ty0), jnp.maximum(tz0, t_min))
+        exit_ = jnp.minimum(jnp.minimum(tx1, ty1), jnp.minimum(tz1, limit))
+        box_hit = enter <= exit_
+
+        active = (cursor < m) & ~found
+        leaf = bvh.is_leaf[node] & box_hit & active
+
+        for k in range(bvh.slots.shape[1]):
+            tri = bvh.slots[node, k]
+            valid_slot = leaf & (tri >= 0)
+            ti = jnp.maximum(tri, 0)
+            v0 = tris.v0.take(ti)
+            e1 = tris.v1.take(ti) - v0
+            e2 = tris.v2.take(ti) - v0
+            h = rd.cross(e2)
+            det = e1.dot(h)
+            ok = jnp.abs(det) > 1e-6
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            s = ro - v0
+            u = inv_det * s.dot(h)
+            q = s.cross(e1)
+            v = inv_det * rd.dot(q)
+            t = inv_det * e2.dot(q)
+            found = found | (
+                valid_slot & ok
+                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min) & (t < limit)
+            )
+
+        descend = box_hit & ~bvh.is_leaf[node] & active
+        nxt = jnp.where(descend, cursor + 1, bvh.skip[node])
+        cursor = jnp.where(found, m, jnp.where(active, nxt, cursor))
+        return step + 1, cursor, found
+
+    init = (jnp.int32(0), jnp.zeros(n, dtype=jnp.int32), jnp.zeros(n, bool))
+    _s, _c, found = jax.lax.while_loop(cond, body, init)
+    return found

@@ -177,6 +177,43 @@ def _pallas_enabled(cs) -> bool:
     return fits_smem(cs)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _bvh_pallas_enabled(cs, n: int) -> bool:
+    """Gate for the block-synchronous Pallas BVH walk; logs a structured
+    event when the fast path is declined so perf regressions are diagnosable
+    (fires once per trace, not per render)."""
+    if cs.bvh is None:
+        return False
+    from .pallas.bvh_pallas import fits_smem_bvh
+
+    if USE_PALLAS is not None:
+        enabled = bool(USE_PALLAS) and fits_smem_bvh(cs.bvh)
+    else:
+        try:
+            enabled = jax.default_backend() == "tpu" and fits_smem_bvh(cs.bvh)
+        except Exception:  # pragma: no cover
+            return False
+    if enabled and n % 128 != 0:
+        enabled = False
+    if not enabled and cs.bvh is not None:
+        from ..utils.logging import log_event
+
+        log_event(
+            "fast_path_declined",
+            path="bvh_pallas",
+            reason=("blob_budget" if not fits_smem_bvh(cs.bvh)
+                    else "batch_alignment" if n % 128 != 0 else "backend"),
+            n_rays=n,
+        )
+    return enabled
+
+
 def _sweep(candidate_fn, cs, count, offset, ro, rd, t_min, best_t, best_idx):
     """Run one primitive type's loop, updating the (best_t, best_idx) carry."""
 
@@ -243,14 +280,30 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
         return SceneHit(hit=hit, t=t, point=point, normal=normal, u=u, v=v, prim=idx)
 
     if cs.bvh is not None:
-        from .bvh import traverse_closest
-
         ps_idx, ps_t, ps_hit = _closest_broadcast(
             cs, ro, rd, t_min, t_max, include_tris=False
         )
-        tri_t, tri_idx = traverse_closest(
-            cs.bvh, cs.triangles, ro, rd, t_min, t_max, tri_offset=P + S + Q
-        )
+        if _bvh_pallas_enabled(cs, n[0]) and isinstance(t_max, (int, float)):
+            from .pallas.bvh_pallas import bvh_closest_pallas
+
+            tri_t, tri_local = bvh_closest_pallas(cs.bvh, ro, rd, t_min, t_max)
+            tri_idx = jnp.where(tri_local >= 0, tri_local + (P + S + Q), -1)
+        elif _on_tpu():
+            # per-ray vector gathers make the XLA walk catastrophically slow
+            # on this backend (~0.04 Mrays/s); the scalar-indexed fori sweep
+            # is the better TPU fallback when the kernel is declined
+            best_t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), n)
+            best_i0 = jnp.full(n, -1, dtype=jnp.int32)
+            tri_t, tri_idx = _sweep(
+                _triangle_candidate, cs, T, P + S + Q, ro, rd, t_min,
+                best_t0, best_i0,
+            )
+        else:
+            from .bvh import traverse_closest
+
+            tri_t, tri_idx = traverse_closest(
+                cs.bvh, cs.triangles, ro, rd, t_min, t_max, tri_offset=P + S + Q
+            )
         tri_hit = tri_idx >= 0
         tri_wins = tri_hit & (~ps_hit | (tri_t < ps_t))
         best_idx = jnp.where(tri_wins, tri_idx, ps_idx)
@@ -348,14 +401,23 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
         return any_hit_pallas(cs, pack_scene_blob(cs), ro, rd, t_min, limit)
 
     if cs.bvh is not None:
-        from .bvh import traverse_any
-
         ro1, rd1 = _lift(ro), _lift(rd)
         bound = limit[:, None]
         vp, _ = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         vs, _ = _sphere_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         vq, _ = _quad_candidate(cs, _ALL, ro1, rd1, t_min, bound)
         ps_any = jnp.any(vp, axis=1) | jnp.any(vs, axis=1) | jnp.any(vq, axis=1)
+        if _bvh_pallas_enabled(cs, n[0]):
+            from .pallas.bvh_pallas import bvh_any_pallas
+
+            return ps_any | bvh_any_pallas(cs.bvh, ro, rd, t_min, limit)
+        if _on_tpu():  # see scene_hit: never the gather-bound walk on TPU
+            best_i0 = jnp.full(n, -1, dtype=jnp.int32)
+            _t, ti = _sweep(_triangle_candidate, cs, T, 0, ro, rd, t_min,
+                            limit, best_i0)
+            return ps_any | (ti >= 0)
+        from .bvh import traverse_any
+
         return ps_any | traverse_any(cs.bvh, cs.triangles, ro, rd, t_min, limit)
 
     if P + S + Q + T <= BROADCAST_LIMIT:

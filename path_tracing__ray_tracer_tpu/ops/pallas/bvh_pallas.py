@@ -1,0 +1,333 @@
+"""Block-synchronous BVH traversal as a fused Pallas kernel.
+
+Why the XLA walk loses (measured, v5e): per traversal step it gathers node
+boxes and leaf triangles per ray — ~50 vector gathers at ~8-20 ns/element →
+0.7 Mrays/s at mesh scale.  TPUs have no per-lane gather, but they have a
+*scalar* core with cheap dynamically-indexed SMEM reads (~8 ns) sitting next
+to a 8×128 VPU.  So instead of each ray walking its own path, one **block of
+rays walks the tree together**:
+
+* the flattened skip-link tree (``ops/bvh.py`` layout) and the leaf-reordered
+  triangle records live in SMEM as scalar blobs;
+* each step reads ONE node record (8 scalar reads), slab-tests its box
+  against all ``TRAV_ROWS×128`` rays in vector registers, and reduces to a
+  single block-level ``any`` bit (~140 ns — the step's dominant cost, hence
+  the wide block);
+* inner node: descend if any lane hit, else skip-link over the subtree;
+  leaf: if any lane hit, test its ``LEAF_SIZE`` inlined triangles (zero-padded
+  slots have ``det == 0`` and never hit — no per-slot masking).
+
+Coherent blocks (camera/shadow rays) cull most of the tree; fully incoherent
+blocks degrade toward a visit-everything sweep but never touch HBM.  The
+occlusion variant parks lanes on first accepted hit and exits the walk early
+once every lane is occluded.
+
+Semantics match ``ops.bvh.traverse_closest`` (strict ``<`` best, same slab
+and Möller–Trumbore epsilons); ties between exactly equal ``t`` may resolve
+differently because visit order is SAH order (documented in QUIRKS.md).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..v3 import V3
+
+LANES = 128
+# rays per traversal block: wider blocks amortize the per-step vector→scalar
+# ``any`` reduction over more rays (the step cost is reduction-dominated)
+TRAV_ROWS = 32
+# node record: lo(3) hi(3) skip slot_base(-1 if inner)
+_NODE_F = 8
+# slot record: v0(3) e1(3) e2(3) gid(-1 padding)
+_SLOT_F = 10
+# combined SMEM budget for tree + slot blobs (floats).  Measured on v5e:
+# 260K-float (1.04 MB) SMEM operands compile and run; 280K fails remote
+# compilation.  240K keeps headroom for the other scalar operands —
+# roughly 20K triangles at LEAF_SIZE=4.
+SMEM_BLOB_LIMIT = 240_000
+
+
+def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+    """Flatten a ``build_bvh`` result + triangle vertices into the two scalar
+    blobs the kernel consumes.  Leaf triangles are re-ordered into contiguous
+    ``LEAF_SIZE`` slot groups so a leaf visit is one dynamic base + static
+    offsets; padding slots are all-zero (degenerate → never hit).
+
+    Returns ``(tree_blob, slot_blob)`` as float32 ``(1, K)`` numpy arrays.
+    """
+    lo, hi, skip = arrs["lo"], arrs["hi"], arrs["skip"]
+    is_leaf, slots = arrs["is_leaf"], arrs["slots"]
+    m, leaf_size = slots.shape
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    tree = np.zeros((m, _NODE_F), np.float32)
+    tree[:, 0:3] = lo
+    tree[:, 3:6] = hi
+    tree[:, 6] = skip.astype(np.float32)
+
+    leaf_ids = np.where(is_leaf)[0]
+    slot_base = np.full(m, -1.0, np.float32)
+    slot_base[leaf_ids] = np.arange(len(leaf_ids), dtype=np.float32) * leaf_size
+    tree[:, 7] = slot_base
+
+    rec = np.zeros((len(leaf_ids) * leaf_size, _SLOT_F), np.float32)
+    rec[:, 9] = -1.0
+    flat = slots[leaf_ids].reshape(-1)  # (n_leaves*leaf_size,) tri ids, -1 pad
+    valid = flat >= 0
+    tri = flat[valid]
+    rows = np.where(valid)[0]
+    rec[rows, 0:3] = v0[tri]
+    rec[rows, 3:6] = e1[tri]
+    rec[rows, 6:9] = e2[tri]
+    rec[rows, 9] = tri.astype(np.float32)
+
+    return tree.reshape(1, -1), rec.reshape(1, -1)
+
+
+def fits_smem_bvh(bvh) -> bool:
+    if bvh is None or bvh.tree_blob is None or bvh.slot_blob is None:
+        return False
+    return (
+        int(bvh.tree_blob.shape[1]) + int(bvh.slot_blob.shape[1])
+        <= SMEM_BLOB_LIMIT
+    )
+
+
+def _slab(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, ivx, ivy, ivz, t_min, far):
+    """Slab test of one box (scalars) against the ray block (vectors); the
+    formulas mirror ``ops.bvh.traverse_closest`` exactly."""
+    a = (lox - ox) * ivx
+    b = (hix - ox) * ivx
+    tx0, tx1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    a = (loy - oy) * ivy
+    b = (hiy - oy) * ivy
+    ty0, ty1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    a = (loz - oz) * ivz
+    b = (hiz - oz) * ivz
+    tz0, tz1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    enter = jnp.maximum(jnp.maximum(tx0, ty0), jnp.maximum(tz0, t_min))
+    exit_ = jnp.minimum(jnp.minimum(tx1, ty1), jnp.minimum(tz1, far))
+    return enter <= exit_
+
+
+def _leaf_tris(slot_ref, base_i, leaf_size, ox, oy, oz, dx, dy, dz, t_min, update):
+    """Test ``leaf_size`` consecutive slot records starting at ``base_i``;
+    ``update(carry, win_mask_without_bound, t, gid)`` folds each candidate."""
+    out = None
+    for k in range(leaf_size):
+        o = base_i * _SLOT_F + k * _SLOT_F
+        v0x, v0y, v0z = slot_ref[0, o], slot_ref[0, o + 1], slot_ref[0, o + 2]
+        e1x, e1y, e1z = slot_ref[0, o + 3], slot_ref[0, o + 4], slot_ref[0, o + 5]
+        e2x, e2y, e2z = slot_ref[0, o + 6], slot_ref[0, o + 7], slot_ref[0, o + 8]
+        gid = slot_ref[0, o + 9]
+        # Möller–Trumbore, same formulation/epsilons as ops.bvh
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(det) > 1e-6
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = inv_det * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = inv_det * (dx * qx + dy * qy + dz * qz)
+        t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+        win = (
+            ok & (gid >= 0.0)
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min)
+        )
+        out = update(out, win, t, gid)
+    return out
+
+
+def _bvh_closest_kernel(
+    m, leaf_size, t_min, t_max,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    bt_ref, bi_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+
+    def cond(carry):
+        cursor, *_ = carry
+        return cursor < m
+
+    def body(carry):
+        cursor, best_t, best_i = carry
+        b = cursor * _NODE_F
+        box_hit = _slab(
+            tree_ref[0, b], tree_ref[0, b + 1], tree_ref[0, b + 2],
+            tree_ref[0, b + 3], tree_ref[0, b + 4], tree_ref[0, b + 5],
+            ox, oy, oz, ivx, ivy, ivz, t_min, best_t,
+        )
+        skip_i = tree_ref[0, b + 6].astype(jnp.int32)
+        base_f = tree_ref[0, b + 7]
+        any_hit = jnp.any(box_hit)
+        is_leaf = base_f >= 0.0
+
+        def leaf_fn(args):
+            bt, bi = args
+
+            def upd(carry2, win, t, gid):
+                bt2, bi2 = carry2 if carry2 is not None else (bt, bi)
+                # per-lane box mask for exact parity with ops.bvh (a lane
+                # whose slab test failed must not accept borderline-FP hits)
+                w = win & box_hit & (t < bt2)
+                bt2 = jnp.where(w, t, bt2)
+                bi2 = jnp.where(w, gid.astype(jnp.int32), bi2)
+                return bt2, bi2
+
+            return _leaf_tris(
+                slot_ref, base_f.astype(jnp.int32), leaf_size,
+                ox, oy, oz, dx, dy, dz, t_min, upd,
+            )
+
+        best_t, best_i = jax.lax.cond(
+            any_hit & is_leaf, leaf_fn, lambda a: a, (best_t, best_i)
+        )
+        cursor = jnp.where(any_hit & ~is_leaf, cursor + 1, skip_i)
+        return cursor, best_t, best_i
+
+    init = (
+        jnp.int32(0),
+        jnp.full_like(ox, t_max),
+        jnp.full(ox.shape, -1, jnp.int32),
+    )
+    _c, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    bt_ref[:] = best_t
+    bi_ref[:] = best_i
+
+
+def _bvh_any_kernel(
+    m, leaf_size, t_min,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, found_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
+    ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+
+    # ``found`` is carried as float32 0/1: Mosaic cannot legalize lax.cond
+    # branches over boolean vector carries (scf.if legalization failure)
+    def cond(carry):
+        cursor, found = carry
+        return (cursor < m) & (jnp.min(found) < 0.5)
+
+    def body(carry):
+        cursor, found = carry
+        b = cursor * _NODE_F
+        # unfound lanes bound the walk by their shadow limit; found lanes are
+        # parked (far < t_min fails every slab test)
+        far = jnp.where(found > 0.5, jnp.float32(-1.0), limit)
+        box_hit = _slab(
+            tree_ref[0, b], tree_ref[0, b + 1], tree_ref[0, b + 2],
+            tree_ref[0, b + 3], tree_ref[0, b + 4], tree_ref[0, b + 5],
+            ox, oy, oz, ivx, ivy, ivz, t_min, far,
+        )
+        skip_i = tree_ref[0, b + 6].astype(jnp.int32)
+        base_f = tree_ref[0, b + 7]
+        any_hit = jnp.any(box_hit)
+        is_leaf = base_f >= 0.0
+
+        def leaf_fn(fnd):
+            def upd(carry2, win, t, _gid):
+                f = carry2 if carry2 is not None else fnd
+                hit_now = win & box_hit & (t < limit)
+                return jnp.maximum(f, hit_now.astype(jnp.float32))
+
+            return _leaf_tris(
+                slot_ref, base_f.astype(jnp.int32), leaf_size,
+                ox, oy, oz, dx, dy, dz, t_min, upd,
+            )
+
+        found = jax.lax.cond(any_hit & is_leaf, leaf_fn, lambda f: f, found)
+        cursor = jnp.where(any_hit & ~is_leaf, cursor + 1, skip_i)
+        return cursor, found
+
+    init = (jnp.int32(0), jnp.zeros(ox.shape, jnp.float32))
+    _c, found = jax.lax.while_loop(cond, body, init)
+    found_ref[:] = found
+
+
+def _blocks(n):
+    rows = n // LANES
+    block_rows = min(TRAV_ROWS, rows)
+    while rows % block_rows:
+        block_rows //= 2
+    return rows, block_rows
+
+
+def bvh_closest_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
+    """(best_t, best_local_tri_idx) over the ray batch.  ``n % 128 == 0``."""
+    n = ro.x.shape[0]
+    rows, block_rows = _blocks(n)
+    m = bvh.n_nodes
+    leaf_size = int(bvh.slots.shape[1])
+
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def rows2(a):
+        return a.reshape(rows, LANES)
+
+    bt, bi = pl.pallas_call(
+        partial(_bvh_closest_kernel, m, leaf_size, float(t_min), float(t_max)),
+        grid=(rows // block_rows,),
+        in_specs=[smem, smem] + [spec] * 6,
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+    )(
+        bvh.tree_blob, bvh.slot_blob,
+        rows2(ro.x), rows2(ro.y), rows2(ro.z),
+        rows2(rd.x), rows2(rd.y), rows2(rd.z),
+    )
+    return bt.reshape(n), bi.reshape(n)
+
+
+def bvh_any_pallas(bvh, ro: V3, rd: V3, t_min: float, limit):
+    """Occlusion mask with per-lane ``limit``; early-exits once every lane in
+    the block is occluded."""
+    n = ro.x.shape[0]
+    rows, block_rows = _blocks(n)
+    m = bvh.n_nodes
+    leaf_size = int(bvh.slots.shape[1])
+
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def rows2(a):
+        return a.reshape(rows, LANES)
+
+    limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
+    found = pl.pallas_call(
+        partial(_bvh_any_kernel, m, leaf_size, float(t_min)),
+        grid=(rows // block_rows,),
+        in_specs=[smem, smem] + [spec] * 7,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+    )(
+        bvh.tree_blob, bvh.slot_blob,
+        rows2(ro.x), rows2(ro.y), rows2(ro.z),
+        rows2(rd.x), rows2(rd.y), rows2(rd.z),
+        rows2(limit_v),
+    )
+    return found.reshape(n) > 0.5

@@ -1,0 +1,121 @@
+"""Block-synchronous Pallas BVH traversal vs the XLA reference walk.
+
+Runs the kernels in interpret mode on CPU (tiny shapes — the interpreter is
+slow); on TPU the same code path is exercised by the mesh benchmark.
+"""
+import numpy as np
+import pytest
+
+import path_tracing__ray_tracer_tpu as ptrt
+from path_tracing__ray_tracer_tpu.compiler import compile_scene
+from path_tracing__ray_tracer_tpu.ops import intersect
+from path_tracing__ray_tracer_tpu.ops.v3 import V3
+
+
+@pytest.fixture
+def interpreted_pallas(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(intersect, "USE_PALLAS", True)
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _soup_scene(n_tris, seed):
+    """Random triangle soup + a couple of non-triangle primitives."""
+    rng = np.random.default_rng(seed)
+    scene = ptrt.Scene()
+    mat = ptrt.Material(ptrt.Vec3(0.7, 0.6, 0.5), diffuse=0.8)
+    for _ in range(n_tris):
+        a = rng.uniform(-10, 10, 3)
+        b = a + rng.uniform(-2, 2, 3)
+        c = a + rng.uniform(-2, 2, 3)
+        scene.add_object(ptrt.Triangle(ptrt.Vec3(*a), ptrt.Vec3(*b),
+                                       ptrt.Vec3(*c), material=mat))
+    scene.add_object(ptrt.Sphere(ptrt.Vec3(0, 0, 0), 1.5, mat))
+    scene.add_light_sample(ptrt.Vec3(0, 20, 0))
+    return scene
+
+
+def _rays(n, seed):
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return V3.from_array(ro), V3.from_array(rd)
+
+
+def test_pack_blobs_layout():
+    from path_tracing__ray_tracer_tpu.ops import bvh as bvh_mod
+
+    rng = np.random.default_rng(0)
+    v0 = rng.uniform(-5, 5, (40, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    arrs = bvh_mod.build_bvh(tri_min, tri_max, use_native=False)
+    from path_tracing__ray_tracer_tpu.ops.pallas.bvh_pallas import (
+        _NODE_F, _SLOT_F, pack_blobs)
+
+    tree, slot = pack_blobs(arrs, v0, v1, v2)
+    m, leaf_size = arrs["slots"].shape
+    assert tree.shape == (1, _NODE_F * m)
+    n_leaves = int(arrs["is_leaf"].sum())
+    assert slot.shape == (1, _SLOT_F * n_leaves * leaf_size)
+    # every real triangle id appears exactly once in the slot records
+    gids = slot.reshape(-1, _SLOT_F)[:, 9]
+    real = np.sort(gids[gids >= 0]).astype(int)
+    np.testing.assert_array_equal(real, np.arange(40))
+    # leaf nodes point at aligned slot bases
+    tree2 = tree.reshape(-1, _NODE_F)
+    bases = tree2[arrs["is_leaf"], 7]
+    assert (bases >= 0).all() and (bases.astype(int) % leaf_size == 0).all()
+    assert (tree2[~arrs["is_leaf"], 7] < 0).all()
+
+
+def test_bvh_closest_kernel_matches_xla_walk(interpreted_pallas):
+    scene = _soup_scene(48, seed=7)
+    cs = compile_scene(scene, use_bvh=True)
+    assert cs.bvh is not None and cs.bvh.tree_blob is not None
+    ro, rd = _rays(256, 11)
+
+    hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = False
+    hit_x = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_array_equal(np.asarray(hit_k.hit), np.asarray(hit_x.hit))
+    np.testing.assert_array_equal(np.asarray(hit_k.prim), np.asarray(hit_x.prim))
+    np.testing.assert_allclose(np.asarray(hit_k.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bvh_any_kernel_matches_xla_walk(interpreted_pallas):
+    scene = _soup_scene(48, seed=8)
+    cs = compile_scene(scene, use_bvh=True)
+    ro, rd = _rays(256, 12)
+
+    occ_k = np.asarray(intersect.scene_hit_any(cs, ro, rd, 1e-3, 18.0))
+    intersect.USE_PALLAS = False
+    occ_x = np.asarray(intersect.scene_hit_any(cs, ro, rd, 1e-3, 18.0))
+    np.testing.assert_array_equal(occ_k, occ_x)
+
+
+def test_bvh_vs_brute_force_reference(interpreted_pallas):
+    """The Pallas walk must agree with the no-BVH brute-force sweep (the
+    independent oracle) on hits and t."""
+    scene = _soup_scene(48, seed=9)
+    cs_bvh = compile_scene(scene, use_bvh=True)
+    cs_brute = compile_scene(scene, use_bvh=False)
+    ro, rd = _rays(256, 13)
+
+    hit_k = intersect.scene_hit(cs_bvh, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = False
+    hit_b = intersect.scene_hit(cs_brute, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_array_equal(np.asarray(hit_k.hit), np.asarray(hit_b.hit))
+    np.testing.assert_allclose(np.asarray(hit_k.t), np.asarray(hit_b.t),
+                               rtol=1e-5, atol=1e-5)
+    # prim ids agree except possibly on exact-t ties (SAH visit order)
+    same = np.asarray(hit_k.prim) == np.asarray(hit_b.prim)
+    assert same.mean() > 0.99
