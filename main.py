@@ -157,6 +157,19 @@ def main(argv=None) -> int:
     renderer = RendererFactory.create(args.renderer, **kwargs)
     print(f"Capabilities: {', '.join(renderer.get_capabilities())}")
 
+    # ETA heuristic (reference main.py:80-86 prints one per renderer class;
+    # constants re-calibrated to this framework's measured TPU throughput)
+    resolved = RendererFactory.resolve(args.renderer)
+    px = args.width * args.height
+    if resolved == "tpu_path_raytracer":
+        eta = px * effective_samples * args.depth / 200e6 + 10
+        print(f"Estimated render time: ~{eta:.0f}s (Global Illumination)")
+    elif resolved == "cpu_raytracer":
+        print("Estimated render time: 30-60s+ (CPU-parity oracle)")
+    else:
+        eta = max(3.0, px * effective_samples * args.depth / 1.3e9 + 3)
+        print(f"Estimated render time: ~{eta:.0f}s (TPU accelerated)")
+
     from path_tracing__ray_tracer_tpu.utils.debug import debug_nans
 
     start = time.time()
@@ -189,6 +202,16 @@ def main(argv=None) -> int:
             f"Throughput: {total_rays / elapsed / 1e6:.2f}M rays/sec "
             f"({total_rays / 1e6:.1f}M rays total)"
         )
+
+    # quality-tier summary (reference main.py:111-118)
+    if resolved == "tpu_path_raytracer":
+        print("Render quality: Global Illumination (highest)")
+    elif resolved == "tpu_texture_raytracer":
+        print("Render quality: Whitted ray tracing + textures (high)")
+    elif resolved == "tpu_raytracer":
+        print("Render quality: accelerated ray tracing (medium)")
+    else:
+        print("Render quality: CPU ray tracing (basic)")
     log_event(
         "cli_done",
         renderer=args.renderer,

@@ -362,6 +362,13 @@ def _make_bounce_and_resolve(cs, width_hint: int):
             return _bounce_xla(cs, o, d, thr, key, depth)
 
     use_mxu_tex = fits_mxu_atlas(cs) and (width_hint % 1024 == 0)
+    if fits_mxu_atlas(cs) and not use_mxu_tex:
+        from ..utils.logging import log_event
+
+        log_event(  # fires at trace time, once per compiled shape
+            "fast_path_declined", path="mxu_texture",
+            reason="batch_alignment", n_rays=int(width_hint),
+        )
     mxu_tables = pack_mxu_atlas(cs) if use_mxu_tex else None
 
     def resolve_fn(out):

@@ -49,6 +49,7 @@ def pixel_coords(pix0, n_pix: int, width: int, height: int):
 class WavefrontRenderer(BaseRenderer):
     convention = "gpu"
     gpu_parity = True
+    progress_label: str = None  # set by slow renderers for per-chunk prints
 
     def __init__(
         self,
@@ -193,10 +194,16 @@ class WavefrontRenderer(BaseRenderer):
             pending.append((pix0, chunk_sum.to_array()))
 
         sums = np.zeros((w * h, 3), dtype=np.float32)
-        for pix0, block_dev in pending:
-            block = np.asarray(block_dev)
+        n_chunks = len(pending)
+        for ci, (pix0, block_dev) in enumerate(pending):
+            block = np.asarray(block_dev)  # blocks until this chunk computes
             take = min(n_pix, w * h - pix0)
             sums[pix0 : pix0 + take] += block[:take]
+            if self.progress_label and n_chunks > 1:
+                # in-flight progress, the analogue of the reference CPU
+                # renderer's every-50-rows print (cpu_renderer.py:64-65)
+                rows_done = min(h, (pix0 + take) // max(w, 1))
+                print(f"{self.progress_label}: {rows_done}/{h} rows")
         return sums
 
     def render_array(self, scene: Scene, camera: Camera, settings: RenderSettings) -> np.ndarray:

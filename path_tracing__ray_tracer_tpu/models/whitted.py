@@ -177,8 +177,15 @@ def whitted_radiance(cs, org: V3, rd: V3, max_depth: int, variant: WhittedVarian
     """Trace one batch of rays to completion, returning radiance."""
     from ..ops.intersect import _pallas_enabled
 
-    if _pallas_enabled(cs) and org.x.shape[0] % 128 == 0:
-        return _whitted_radiance_pallas(cs, org, rd, max_depth, variant)
+    if _pallas_enabled(cs):
+        if org.x.shape[0] % 128 == 0:
+            return _whitted_radiance_pallas(cs, org, rd, max_depth, variant)
+        from ..utils.logging import log_event
+
+        log_event(  # fires at trace time, once per compiled shape
+            "fast_path_declined", path="whitted_pallas",
+            reason="batch_alignment", n_rays=int(org.x.shape[0]),
+        )
 
     def cond(state):
         depth, *_rest, active = state

@@ -272,6 +272,9 @@ class CPUParityRayTracer(WavefrontRenderer):
 
     convention = "cpu"
     gpu_parity = False
+    # reference prints "CPU is working for you...: <rows>" every 50 rows
+    # (cpu_renderer.py:64-65); here each finished chunk reports row progress
+    progress_label = "CPU is working for you..."
 
     def __init__(self, **kw):
         kw.setdefault("jitter", "independent")
