@@ -60,6 +60,7 @@ class WavefrontRenderer(BaseRenderer):
         mesh=None,
         texture_budget: int = 0,  # 0 = reference-exact full-res atlas
         compile_overrides: Optional[dict] = None,  # extra compile_scene kwargs
+        device: Optional[str] = None,  # None = session default; "cpu" = host
     ):
         super().__init__(name)
         self.chunk_rays = int(chunk_rays)
@@ -69,24 +70,43 @@ class WavefrontRenderer(BaseRenderer):
         self.mesh = mesh
         self.texture_budget = int(texture_budget)
         self.compile_overrides = dict(compile_overrides or {})
+        self.device = device
         self._scene_cache: Dict[Tuple[int, str, bool], CompiledScene] = {}
         self._jit_cache: Dict[Tuple, Callable] = {}
         # progressive-accumulation hook (reference frame_count analogue,
         # cuda_path_tracer.py:739)
         self.frame_count = 0
 
+    # -- execution placement ---------------------------------------------------
+    def _device_scope(self):
+        """Context placing this renderer's arrays/compute on an explicit
+        backend.  ``device="cpu"`` pins the host CPU (the reference's
+        ``cpu_raytracer`` is host-only, ``cpu_renderer.py``; it also avoids
+        the remote TPU compile service for a renderer whose workload is
+        seconds even on host).  ``None`` keeps the session default."""
+        import contextlib
+
+        if self.device is None:
+            return contextlib.nullcontext()
+        try:
+            dev = jax.devices(self.device)[0]
+        except Exception:
+            return contextlib.nullcontext()  # requested backend absent: degrade
+        return jax.default_device(dev)
+
     # -- scene compilation (cached) -----------------------------------------
     def compiled(self, scene: Scene) -> CompiledScene:
         key = (id(scene), self.convention, self.gpu_parity, self.texture_budget,
-               tuple(sorted(self.compile_overrides.items())))
+               self.device, tuple(sorted(self.compile_overrides.items())))
         if key not in self._scene_cache:
-            cs = compile_scene(
-                scene,
-                convention=self.convention,
-                gpu_parity=self.gpu_parity,
-                texture_budget=self.texture_budget,
-                **self.compile_overrides,
-            )
+            with self._device_scope():
+                cs = compile_scene(
+                    scene,
+                    convention=self.convention,
+                    gpu_parity=self.gpu_parity,
+                    texture_budget=self.texture_budget,
+                    **self.compile_overrides,
+                )
             self._scene_cache[key] = cs
             log_event("scene_compiled", renderer=self.name, **scene_summary(cs))
         return self._scene_cache[key]
@@ -157,7 +177,8 @@ class WavefrontRenderer(BaseRenderer):
         ``sample_offset`` — the building block for both one-shot and
         progressive rendering.  Returns float32 ``(H*W, 3)`` sums."""
         cs = self.compiled(scene)
-        cam12 = pack_camera(camera)
+        with self._device_scope():
+            cam12 = pack_camera(camera)
         w, h, spp = settings.width, settings.height, settings.samples_per_pixel
         if n_samples is None:
             n_samples = spp
@@ -180,18 +201,19 @@ class WavefrontRenderer(BaseRenderer):
         # pipelines ahead of the host, and each host sync costs ~30 ms on the
         # tunneled backend
         pending = []
-        for pix0 in range(0, w * h, n_pix):
-            chunk_sum = None
-            for s0 in range(sample_offset, sample_offset + n_samples, group):
-                out = chunk_fn(
-                    cs,
-                    cam12,
-                    jnp.int32(pix0),
-                    jnp.uint32(self.seed),
-                    jnp.int32(s0),
-                )
-                chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
-            pending.append((pix0, chunk_sum.to_array()))
+        with self._device_scope():
+            for pix0 in range(0, w * h, n_pix):
+                chunk_sum = None
+                for s0 in range(sample_offset, sample_offset + n_samples, group):
+                    out = chunk_fn(
+                        cs,
+                        cam12,
+                        jnp.int32(pix0),
+                        jnp.uint32(self.seed),
+                        jnp.int32(s0),
+                    )
+                    chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
+                pending.append((pix0, chunk_sum.to_array()))
 
         sums = np.zeros((w * h, 3), dtype=np.float32)
         n_chunks = len(pending)

@@ -41,9 +41,16 @@ from .wavefront import WavefrontRenderer, pixel_coords
 
 _T_MIN = 1e-3
 _EPS_OFFSET = 1e-3
-ORACLE_MAX_DEPTH = 8  # fork-evaluation depth cap (2^d lanes; see QUIRKS.md)
-# deepest-level lane budget: bounds the level arrays' memory (the forward
-# pass saves ~6 floats per lane across all levels ≈ 2x the deepest level)
+# Fork-evaluation depth cap.  The heap-synchronous evaluation (see ``_trace``)
+# compiles one shade/fork body regardless of depth, so the cap is purely a
+# memory/runtime bound: the heap holds 2^(d+1) n-lane segments (~16 f32
+# fields each) and the forward pass runs 2^(d+1)-1 sequential segment
+# evaluations.  Depth 12 ≈ 1 GB of buffers at the clamped chunk width and
+# ~8K segment evaluations; fork chains beyond that carry < 0.85^12 of a
+# glass path's energy (QUIRKS.md).  Round 1's compile-driven clamp was 8.
+ORACLE_MAX_DEPTH = 12
+# deepest-level lane budget: bounds the heap buffers' memory (the forward
+# pass carries ~16 floats per lane across 2·2^d segments)
 _LEVEL_LANE_BUDGET = 1 << 22
 
 
@@ -82,35 +89,43 @@ def _shade_local(cs, hit, base_color, mats, ray_origin: V3) -> V3:
     return local + jax.lax.fori_loop(0, n_lights, light_body, zero)
 
 
-def _interleave(a: V3, b: V3) -> V3:
-    """Children of parent ``j`` land at ``2j`` (reflection) and ``2j+1``
-    (refraction) — a pure reshape, so the level fan-out needs no gathers."""
-    def ix(u, v):
-        return jnp.stack([u, v], axis=1).reshape(-1)
-
-    return V3(ix(a.x, b.x), ix(a.y, b.y), ix(a.z, b.z))
-
-
 def _trace(cs, org: V3, rd: V3, depth: int, max_depth: int, active) -> V3:
-    """Level-synchronous evaluation of the reference's fork recursion.
+    """Heap-synchronous evaluation of the reference's fork recursion.
 
     The reference CPU renderer forks into *both* reflection and refraction
     (``cpu_renderer.py:113-142``).  Round 1 statically unrolled that
-    recursion — 2^depth inlined subgraphs, 244 s to compile at depth 8.  This
-    formulation evaluates the same tree **level by level**: level ``k`` is
-    one batch of ``n·2^k`` lanes (reflection/refraction children interleaved),
-    so the compiled graph is ``depth`` stages, and the backward pass combines
-    ``local·(1−kr−kt) + kr·R + kt·T`` bottom-up with reshapes only.
-    Per-lane arithmetic is identical to the recursive form.
+    recursion — 2^depth inlined subgraphs, 244 s to compile at depth 8; the
+    first level-synchronous rewrite still inlined one shade/fork body per
+    level.  This formulation lays the fork tree out as a **binary heap of
+    constant-width n-lane segments**: node ``j``'s children live at ``2j+1``
+    (reflection) and ``2j+2`` (refraction), the forward pass is ONE
+    ``fori_loop`` over all ``2^(d+1)-1`` nodes in heap (BFS) order, and the
+    backward pass is one reverse ``fori_loop`` combining
+    ``local·(1−kr−kt) + kr·R + kt·T``.  The compiled graph holds exactly one
+    copy of the shade/fork body regardless of depth; per-lane arithmetic is
+    identical to the recursive form.
     """
     n = int(org.x.shape[0])
+    M = 2 ** (max_depth + 1) - 1  # heap nodes over levels 0..max_depth
+    # leaf fan-out writes land in a scratch tail no later node reads:
+    # max child index is 2(M-1)+2 = 2M, so buffers span 2M+1 segments
+    CB = 2 * M + 1
 
-    def level_segment(o, d, act):
-        """One constant-width (n-lane) segment of a level: shade + fork.
+    def seg(buf, j):
+        return jax.lax.dynamic_slice(buf, (j * n,), (n,))
 
-        Constant width matters: every Pallas intersect kernel inside gets
-        compiled for exactly one shape, so the whole oracle costs one Mosaic
-        compile set instead of one per level."""
+    def put(buf, val, j):
+        return jax.lax.dynamic_update_slice(buf, val, (j * n,))
+
+    def seg3(bufs, j):
+        return V3(seg(bufs[0], j), seg(bufs[1], j), seg(bufs[2], j))
+
+    def put3(bufs, v, j):
+        return (put(bufs[0], v.x, j), put(bufs[1], v.y, j), put(bufs[2], v.z, j))
+
+    def shade_fork(o, d, act):
+        """Shade one heap node and produce its two child rays (both always
+        computed; activity masks gate their contribution)."""
         hit = scene_hit(cs, o, d, _T_MIN, 1e30)
         mats = gather_material(cs.materials, hit.prim)
         (mcolor, _diff, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
@@ -136,94 +151,95 @@ def _trace(cs, org: V3, rd: V3, depth: int, max_depth: int, active) -> V3:
         branch_org = V3.where(ok, refr_org, refl_org)
         want_refr = lane & (refractive > 0.0)
 
-        child_o = _interleave(refl_org, branch_org)
-        child_d = _interleave(refl_dir, branch_dir)
-        child_act = jnp.stack([want_refl, want_refr], axis=1).reshape(-1)
-        return (local, reflective, refractive, lane), (child_o, child_d, child_act)
+        return (
+            (local, reflective, refractive, lane),
+            (refl_org, refl_dir, want_refl),
+            (branch_org, branch_dir, want_refr),
+        )
 
-    o, d, act = org, rd, active
-    saved = []
+    zf_cb = jnp.zeros((CB * n,), jnp.float32)
+    zb_cb = jnp.zeros((CB * n,), bool)
+    zf_m = jnp.zeros((M * n,), jnp.float32)
+    zb_m = jnp.zeros((M * n,), bool)
 
-    # ---- forward: shade every level, fan out masked children ----------------
-    for k in range(max_depth + 1):
-        segs = 2 ** k
-        if segs == 1:
-            (local, kr, kt, lane), (child_o, child_d, child_act) = level_segment(
-                o, d, act
-            )
-        else:
-            # level k is 2^k constant-width segments processed sequentially
-            W = segs * n
+    # ---- forward: one fori over heap nodes (root seeded at j=0) -------------
+    iox, ioy, ioz = put3((zf_cb, zf_cb, zf_cb), org, 0)
+    idx_, idy_, idz_ = put3((zf_cb, zf_cb, zf_cb), rd, 0)
+    iact = put(zb_cb, active, 0)
 
-            def seg_body(j, carry):
-                (lx, ly, lz, kr_a, kt_a, lane_a,
-                 cox, coy, coz, cdx, cdy, cdz, ca) = carry
-                s = j * n
+    def fwd_body(j, carry):
+        (iox, ioy, ioz, idx_, idy_, idz_, iact,
+         lx, ly, lz, akr, akt, alane) = carry
+        o = seg3((iox, ioy, ioz), j)
+        d = seg3((idx_, idy_, idz_), j)
+        act = seg(iact, j)
+        (local, kr, kt, lane), refl, refr = shade_fork(o, d, act)
+        lx, ly, lz = put(lx, local.x, j), put(ly, local.y, j), put(lz, local.z, j)
+        akr, akt, alane = put(akr, kr, j), put(akt, kt, j), put(alane, lane, j)
+        for child, (co, cd, cact) in ((2 * j + 1, refl), (2 * j + 2, refr)):
+            iox, ioy, ioz = put3((iox, ioy, ioz), co, child)
+            idx_, idy_, idz_ = put3((idx_, idy_, idz_), cd, child)
+            iact = put(iact, cact, child)
+        return (iox, ioy, ioz, idx_, idy_, idz_, iact,
+                lx, ly, lz, akr, akt, alane)
 
-                def seg(a):
-                    return jax.lax.dynamic_slice(a, (s,), (n,))
+    (_iox, _ioy, _ioz, _idx, _idy, _idz, _iact,
+     lx, ly, lz, akr, akt, alane) = jax.lax.fori_loop(
+        0, M, fwd_body,
+        (iox, ioy, ioz, idx_, idy_, idz_, iact,
+         zf_m, zf_m, zf_m, zf_m, zf_m, zb_m),
+    )
 
-                so = V3(seg(o.x), seg(o.y), seg(o.z))
-                sd = V3(seg(d.x), seg(d.y), seg(d.z))
-                (loc, kr_s, kt_s, lane_s), (co, cd, cact) = level_segment(
-                    so, sd, seg(act)
-                )
+    # ---- backward: reverse fori; leaf children read the zeroed tail ---------
+    def bwd_body(i, cb):
+        cx, cy, cz = cb
+        j = M - 1 - i
+        local = seg3((lx, ly, lz), j)
+        kr, kt, lane = seg(akr, j), seg(akt, j), seg(alane, j)
+        refl = seg3((cx, cy, cz), 2 * j + 1)
+        refr = seg3((cx, cy, cz), 2 * j + 2)
+        c = local * (1.0 - kr - kt) + refl * kr + refr * kt
+        c = V3.where(lane, c, V3.full(0.0, lane.shape))
+        return put3((cx, cy, cz), c, j)
 
-                def put(dst, val, off):
-                    return jax.lax.dynamic_update_slice(dst, val, (off,))
-
-                return (
-                    put(lx, loc.x, s), put(ly, loc.y, s), put(lz, loc.z, s),
-                    put(kr_a, kr_s, s), put(kt_a, kt_s, s), put(lane_a, lane_s, s),
-                    put(cox, co.x, 2 * s), put(coy, co.y, 2 * s), put(coz, co.z, 2 * s),
-                    put(cdx, cd.x, 2 * s), put(cdy, cd.y, 2 * s), put(cdz, cd.z, 2 * s),
-                    put(ca, cact, 2 * s),
-                )
-
-            zf = jnp.zeros((W,), jnp.float32)
-            z2 = jnp.zeros((2 * W,), jnp.float32)
-            init = (zf, zf, zf, zf, zf, jnp.zeros((W,), bool),
-                    z2, z2, z2, z2, z2, z2, jnp.zeros((2 * W,), bool))
-            (lx, ly, lz, kr, kt, lane,
-             cox, coy, coz, cdx, cdy, cdz, child_act) = jax.lax.fori_loop(
-                0, segs, seg_body, init
-            )
-            local = V3(lx, ly, lz)
-            child_o = V3(cox, coy, coz)
-            child_d = V3(cdx, cdy, cdz)
-
-        saved.append((local, kr, kt, lane))
-        if k == max_depth:
-            break
-        o, d, act = child_o, child_d, child_act
-
-    # ---- backward: combine children into parents ----------------------------
-    color = None
-    for local, kr, kt, lane in reversed(saved):
-        if color is None:
-            c = local * (1.0 - kr - kt)
-        else:
-            pair_x = color.x.reshape(-1, 2)
-            pair_y = color.y.reshape(-1, 2)
-            pair_z = color.z.reshape(-1, 2)
-            reflected = V3(pair_x[:, 0], pair_y[:, 0], pair_z[:, 0])
-            refracted = V3(pair_x[:, 1], pair_y[:, 1], pair_z[:, 1])
-            c = (
-                local * (1.0 - kr - kt)
-                + reflected * kr
-                + refracted * kt
-            )
-        color = V3.where(lane, c, V3.full(0.0, lane.shape))
-    return color
+    cx, cy, cz = jax.lax.fori_loop(0, M, bwd_body, (zf_cb, zf_cb, zf_cb))
+    return V3(cx[:n], cy[:n], cz[:n])
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "n_pix", "width", "height", "spp", "max_depth", "n_samples", "jitter",
+        "use_pallas",
     ),
 )
 def _oracle_chunk(
+    cs,
+    cam12,
+    pix0,
+    seed,
+    sample_base,
+    *,
+    n_pix: int,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    n_samples: int,
+    jitter: str,
+    use_pallas,
+):
+    from ..ops import intersect as _isect
+
+    with _isect.force_pallas(use_pallas):
+        return _oracle_chunk_body(
+            cs, cam12, pix0, seed, sample_base, n_pix=n_pix, width=width,
+            height=height, spp=spp, max_depth=max_depth, n_samples=n_samples,
+            jitter=jitter,
+        )
+
+
+def _oracle_chunk_body(
     cs,
     cam12,
     pix0,
@@ -276,9 +292,19 @@ class CPUParityRayTracer(WavefrontRenderer):
     # (cpu_renderer.py:64-65); here each finished chunk reports row progress
     progress_label = "CPU is working for you..."
 
-    def __init__(self, **kw):
+    def __init__(self, use_pallas=False, **kw):
+        # ``use_pallas=False`` keeps the oracle on the plain XLA intersect
+        # path, skipping the Mosaic kernel compile (round-1 config-1 cold
+        # start was 244 s, all compile).  Pass ``use_pallas=None`` for auto.
+        # Both paths agree per-pixel (tests enforce Pallas/XLA agreement).
+        # ``device="cpu"`` additionally pins the host backend (the reference
+        # ``cpu_raytracer`` is host-only) — but it is NOT the default: on the
+        # tunneled axon platform the CPU-target compile path is
+        # pathologically slow (measured >9 min for this graph vs 9 s under
+        # ``JAX_PLATFORMS=cpu``), so the session default device wins there.
         kw.setdefault("jitter", "independent")
         super().__init__("cpu_raytracer", **kw)
+        self.use_pallas = use_pallas
 
     def get_capabilities(self) -> List[str]:
         return [
@@ -319,6 +345,7 @@ class CPUParityRayTracer(WavefrontRenderer):
             max_depth=depth,
             n_samples=group,
             jitter=jitter,
+            use_pallas=self.use_pallas,
         )
 
     def render_sums(self, scene, camera, settings, sample_offset=0, n_samples=None):

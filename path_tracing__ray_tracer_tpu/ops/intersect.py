@@ -163,6 +163,28 @@ UNROLL_LIMIT = 0  # sequential unrolling disabled (kept for experiments)
 USE_PALLAS = None
 
 
+class force_pallas:
+    """Scope ``USE_PALLAS`` during tracing: renderers that prefer the plain
+    XLA formulation (e.g. the CPU-parity oracle, whose first Mosaic compile
+    costs ~2 minutes through the remote-compile service) wrap their traced
+    chunk bodies in ``with force_pallas(False): ...``.  ``None`` restores
+    auto-dispatch."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __enter__(self):
+        global USE_PALLAS
+        self._saved = USE_PALLAS
+        USE_PALLAS = self.value
+        return self
+
+    def __exit__(self, *exc):
+        global USE_PALLAS
+        USE_PALLAS = self._saved
+        return False
+
+
 def _pallas_enabled(cs) -> bool:
     if USE_PALLAS is not None:
         return bool(USE_PALLAS)
