@@ -101,6 +101,33 @@ def test_bvh_any_kernel_matches_xla_walk(interpreted_pallas):
     np.testing.assert_array_equal(occ_k, occ_x)
 
 
+def test_bvh_sorted_matches_unsorted(interpreted_pallas, monkeypatch):
+    """The coherence sort changes block membership only: sorted and unsorted
+    traversals must agree bit-exactly (per-lane math is per-lane exact)."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    scene = _soup_scene(48, seed=10)
+    cs = compile_scene(scene, use_bvh=True)
+    n = 4096
+    ro, rd = _rays(n, 14)
+    monkeypatch.setattr(bp, "TRAV_ROWS", 8)  # several blocks at n=4096
+    monkeypatch.setattr(bp, "_SORT_MIN_ROWS", 2)
+
+    assert bp._sort_enabled(n)
+    bt_s, bi_s = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_SORT", False)
+    bt_u, bi_u = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    np.testing.assert_array_equal(np.asarray(bt_s), np.asarray(bt_u))
+    np.testing.assert_array_equal(np.asarray(bi_s), np.asarray(bi_u))
+
+    monkeypatch.setattr(bp, "BVH_SORT", True)
+    lim = np.full(n, 18.0, np.float32)
+    occ_s = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    monkeypatch.setattr(bp, "BVH_SORT", False)
+    occ_u = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    np.testing.assert_array_equal(occ_s, occ_u)
+
+
 def test_bvh_vs_brute_force_reference(interpreted_pallas):
     """The Pallas walk must agree with the no-BVH brute-force sweep (the
     independent oracle) on hits and t."""
