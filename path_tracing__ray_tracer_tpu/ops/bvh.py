@@ -43,6 +43,9 @@ class FlatBVH(NamedTuple):
     # None when built without vertex data
     tree_blob: jnp.ndarray = None  # (1, 8M) f32 node records
     slot_blob: jnp.ndarray = None  # (1, 10K) f32 leaf-ordered triangle records
+    # shape-encoded max tree depth (root = 1): ``shape[0]`` bounds the ordered
+    # walk's stack.  An array because jit erases Python ints but keeps shapes.
+    depth_token: jnp.ndarray = None  # (depth,) int8 zeros
 
     @property
     def n_nodes(self) -> int:
@@ -199,15 +202,17 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
               v2: np.ndarray = None) -> FlatBVH:
     """Upload a ``build_bvh`` result; with triangle vertices also pack the
     scalar blobs that enable the Pallas block-synchronous traversal."""
-    tree_blob = slot_blob = None
+    tree_blob = slot_blob = depth_token = None
     if v0 is not None:
         from .pallas.bvh_pallas import pack_blobs
 
-        tree_np, slot_np = pack_blobs(arrs, np.asarray(v0, np.float32),
-                                      np.asarray(v1, np.float32),
-                                      np.asarray(v2, np.float32))
+        tree_np, slot_np, depth = pack_blobs(arrs, np.asarray(v0, np.float32),
+                                             np.asarray(v1, np.float32),
+                                             np.asarray(v2, np.float32))
         tree_blob = jnp.asarray(tree_np)
         slot_blob = jnp.asarray(slot_np)
+        # static tree-depth carrier: jit args lose Python ints, shapes survive
+        depth_token = jnp.zeros((depth,), jnp.int8)
     return FlatBVH(
         lo=jnp.asarray(arrs["lo"]),
         hi=jnp.asarray(arrs["hi"]),
@@ -216,6 +221,7 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
         slots=jnp.asarray(arrs["slots"]),
         tree_blob=tree_blob,
         slot_blob=slot_blob,
+        depth_token=depth_token,
     )
 
 

@@ -42,8 +42,15 @@ LANES = 128
 # rays per traversal block: wider blocks amortize the per-step vector→scalar
 # ``any`` reduction over more rays (the step cost is reduction-dominated)
 TRAV_ROWS = 32
-# node record: lo(3) hi(3) skip slot_base(-1 if inner)
+# node record: lo(3) hi(3) skip slot_base.  ``slot_base`` doubles as the
+# node-kind discriminator: >= 0 is a leaf (slot offset), < 0 is an inner node
+# encoding ``-(1 + axis + 4*flip)`` where ``axis`` is the child-separating
+# axis and ``flip`` says the left child's centroid is the greater one — the
+# ordered (stack) walk uses it to visit the near child first.
 _NODE_F = 8
+# per-block traversal stack capacity (SMEM scratch, int32); trees deeper than
+# this fall back to the stackless skip-link kernel via the depth token gate
+_STACK_CAP = 192
 # slot record: v0(3) e1(3) e2(3) gid(-1 padding)
 _SLOT_F = 10
 # combined SMEM budget for tree + slot blobs (floats).  Measured on v5e:
@@ -59,7 +66,9 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     ``LEAF_SIZE`` slot groups so a leaf visit is one dynamic base + static
     offsets; padding slots are all-zero (degenerate → never hit).
 
-    Returns ``(tree_blob, slot_blob)`` as float32 ``(1, K)`` numpy arrays.
+    Returns ``(tree_blob, slot_blob, depth)`` — float32 ``(1, K)`` numpy
+    arrays plus the tree's maximum node depth (root = 1), which bounds the
+    ordered walk's stack.
     """
     lo, hi, skip = arrs["lo"], arrs["hi"], arrs["skip"]
     is_leaf, slots = arrs["is_leaf"], arrs["slots"]
@@ -77,6 +86,30 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     slot_base[leaf_ids] = np.arange(len(leaf_ids), dtype=np.float32) * leaf_size
     tree[:, 7] = slot_base
 
+    # inner-node ordering code for the stack walk.  DFS layout invariant
+    # (ops/bvh.py flatten): left(i) = i + 1, right(i) = skip[i + 1] — the left
+    # child's skip always lands on the right subtree root.
+    inner = np.where(~is_leaf)[0]
+    if len(inner):
+        left = inner + 1
+        right = skip[left]
+        lc = (lo[left] + hi[left]) * 0.5
+        rc = (lo[right] + hi[right]) * 0.5
+        diff = rc - lc
+        axis = np.argmax(np.abs(diff), axis=1)
+        flip = diff[np.arange(len(inner)), axis] < 0.0  # left centroid greater
+        tree[inner, 7] = -(1.0 + axis + 4.0 * flip)
+
+    # max depth via the same child pointers (iterative, host side)
+    depth = 1
+    stack = [(0, 1)]
+    while stack:
+        node, d = stack.pop()
+        depth = max(depth, d)
+        if not is_leaf[node]:
+            stack.append((node + 1, d + 1))
+            stack.append((int(skip[node + 1]), d + 1))
+
     rec = np.zeros((len(leaf_ids) * leaf_size, _SLOT_F), np.float32)
     rec[:, 9] = -1.0
     flat = slots[leaf_ids].reshape(-1)  # (n_leaves*leaf_size,) tri ids, -1 pad
@@ -88,7 +121,7 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     rec[rows, 6:9] = e2[tri]
     rec[rows, 9] = tri.astype(np.float32)
 
-    return tree.reshape(1, -1), rec.reshape(1, -1)
+    return tree.reshape(1, -1), rec.reshape(1, -1), depth
 
 
 def fits_smem_bvh(bvh) -> bool:
@@ -211,6 +244,103 @@ def _bvh_closest_kernel(
     bi_ref[:] = best_i
 
 
+def _bvh_closest_ordered_kernel(
+    m, leaf_size, t_min, t_max,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    bt_ref, bi_ref, stack_ref,
+):
+    """Front-to-back stack walk: the block visits each inner node's *near*
+    child first (near = lower child centroid on the node's separating axis,
+    oriented by the block's majority direction sign), so ``best_t`` tightens
+    early and the per-lane ``far = best_t`` slab bound culls far subtrees the
+    stackless preorder walk would still visit.  The stack is one scalar SMEM
+    array per block — classic packet traversal mapped onto scalar-core
+    control + VPU lane tests."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+
+    # block majority direction sign per axis (one-time vector reduce)
+    pgx = jnp.sum(jnp.where(dx > 0, 1.0, -1.0)) >= 0.0
+    pgy = jnp.sum(jnp.where(dy > 0, 1.0, -1.0)) >= 0.0
+    pgz = jnp.sum(jnp.where(dz > 0, 1.0, -1.0)) >= 0.0
+
+    stack_ref[0] = jnp.int32(0)
+
+    def cond(carry):
+        step, sp, *_ = carry
+        return (sp > 0) & (step < m + 2)
+
+    def body(carry):
+        step, sp, best_t, best_i = carry
+        sp = sp - 1
+        node = stack_ref[sp]
+        b = node * _NODE_F
+        box_hit = _slab(
+            tree_ref[0, b], tree_ref[0, b + 1], tree_ref[0, b + 2],
+            tree_ref[0, b + 3], tree_ref[0, b + 4], tree_ref[0, b + 5],
+            ox, oy, oz, ivx, ivy, ivz, t_min, best_t,
+        )
+        any_hit = jnp.any(box_hit)
+        base_f = tree_ref[0, b + 7]
+        is_leaf = base_f >= 0.0
+
+        def leaf_fn(args):
+            bt, bi = args
+
+            def upd(carry2, win, t, gid):
+                bt2, bi2 = carry2 if carry2 is not None else (bt, bi)
+                w = win & box_hit & (t < bt2)
+                bt2 = jnp.where(w, t, bt2)
+                bi2 = jnp.where(w, gid.astype(jnp.int32), bi2)
+                return bt2, bi2
+
+            return _leaf_tris(
+                slot_ref, base_f.astype(jnp.int32), leaf_size,
+                ox, oy, oz, dx, dy, dz, t_min, upd,
+            )
+
+        best_t, best_i = jax.lax.cond(
+            any_hit & is_leaf, leaf_fn, lambda a: a, (best_t, best_i)
+        )
+
+        # inner node: push far child, then near (near popped first)
+        k = (-base_f - 1.0).astype(jnp.int32)  # axis + 4*flip (leaf: garbage)
+        axis = jnp.remainder(k, 4)
+        flip = (k // 4) > 0
+        pos = jnp.where(axis == 0, pgx, jnp.where(axis == 1, pgy, pgz))
+        near_is_left = jnp.logical_xor(pos, flip)
+        left = node + 1
+        # clamp: the read is speculative (leaves take the push=False path but
+        # still execute it), and node may be the last record
+        right = tree_ref[
+            0, jnp.minimum(left, m - 1) * _NODE_F + 6
+        ].astype(jnp.int32)
+        near = jnp.where(near_is_left, left, right)
+        far_child = jnp.where(near_is_left, right, left)
+        push = any_hit & ~is_leaf
+
+        @pl.when(push)
+        def _():
+            stack_ref[sp] = far_child
+            stack_ref[sp + 1] = near
+
+        sp = jnp.where(push, sp + 2, sp)
+        return step + 1, sp, best_t, best_i
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(1),
+        jnp.full_like(ox, t_max),
+        jnp.full(ox.shape, -1, jnp.int32),
+    )
+    _s, _sp, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    bt_ref[:] = best_t
+    bi_ref[:] = best_i
+
+
 def _bvh_any_kernel(
     m, leaf_size, t_min,
     tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -295,6 +425,10 @@ def _blocks(n):
 BVH_SORT = True
 _SORT_MIN_ROWS = 16  # below two blocks there is nothing to bin
 _MORTON_BITS = 4
+# front-to-back stack walk for closest-hit (A/B flag; see
+# _bvh_closest_ordered_kernel).  Falls back to the skip-link preorder walk
+# when the tree is deeper than the SMEM stack.
+BVH_ORDERED = True
 
 
 def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
@@ -352,6 +486,16 @@ def bvh_closest_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     return _bvh_closest_unsorted(bvh, ro, rd, t_min, t_max)
 
 
+def _ordered_ok(bvh) -> bool:
+    """The front-to-back stack walk needs the depth token and stack headroom
+    (depth + 1 live entries, +1 margin)."""
+    return (
+        BVH_ORDERED
+        and getattr(bvh, "depth_token", None) is not None
+        and int(bvh.depth_token.shape[0]) + 2 <= _STACK_CAP
+    )
+
+
 def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     n = ro.x.shape[0]
     rows, block_rows = _blocks(n)
@@ -364,8 +508,19 @@ def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     def rows2(a):
         return a.reshape(rows, LANES)
 
+    if _ordered_ok(bvh):
+        kernel = partial(
+            _bvh_closest_ordered_kernel, m, leaf_size, float(t_min), float(t_max)
+        )
+        scratch = [pltpu.SMEM((_STACK_CAP,), jnp.int32)]
+    else:
+        kernel = partial(
+            _bvh_closest_kernel, m, leaf_size, float(t_min), float(t_max)
+        )
+        scratch = []
+
     bt, bi = pl.pallas_call(
-        partial(_bvh_closest_kernel, m, leaf_size, float(t_min), float(t_max)),
+        kernel,
         grid=(rows // block_rows,),
         in_specs=[smem, smem] + [spec] * 6,
         out_specs=[spec, spec],
@@ -373,6 +528,7 @@ def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
+        scratch_shapes=scratch,
     )(
         bvh.tree_blob, bvh.slot_blob,
         rows2(ro.x), rows2(ro.y), rows2(ro.z),

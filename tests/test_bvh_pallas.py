@@ -58,7 +58,7 @@ def test_pack_blobs_layout():
     from path_tracing__ray_tracer_tpu.ops.pallas.bvh_pallas import (
         _NODE_F, _SLOT_F, pack_blobs)
 
-    tree, slot = pack_blobs(arrs, v0, v1, v2)
+    tree, slot, depth = pack_blobs(arrs, v0, v1, v2)
     m, leaf_size = arrs["slots"].shape
     assert tree.shape == (1, _NODE_F * m)
     n_leaves = int(arrs["is_leaf"].sum())
@@ -71,7 +71,14 @@ def test_pack_blobs_layout():
     tree2 = tree.reshape(-1, _NODE_F)
     bases = tree2[arrs["is_leaf"], 7]
     assert (bases >= 0).all() and (bases.astype(int) % leaf_size == 0).all()
-    assert (tree2[~arrs["is_leaf"], 7] < 0).all()
+    # inner nodes carry the ordering code -(1 + axis + 4*flip) ∈ [-8, -1]
+    inner_codes = tree2[~arrs["is_leaf"], 7]
+    assert ((inner_codes <= -1) & (inner_codes >= -8)).all()
+    assert 1 <= depth <= m
+    # DFS layout invariant the ordered walk relies on: right(i) = skip[i+1]
+    inner_ids = np.where(~arrs["is_leaf"])[0]
+    rights = arrs["skip"][inner_ids + 1]
+    assert (rights > inner_ids + 1).all() and (rights < m).all()
 
 
 def test_bvh_closest_kernel_matches_xla_walk(interpreted_pallas):
@@ -126,6 +133,30 @@ def test_bvh_sorted_matches_unsorted(interpreted_pallas, monkeypatch):
     monkeypatch.setattr(bp, "BVH_SORT", False)
     occ_u = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
     np.testing.assert_array_equal(occ_s, occ_u)
+
+
+def test_bvh_ordered_matches_skiplink(interpreted_pallas, monkeypatch):
+    """The front-to-back stack walk and the stackless preorder walk must
+    agree on hit/t everywhere (prim ids may differ only on exact-t ties)."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    scene = _soup_scene(64, seed=15)
+    cs = compile_scene(scene, use_bvh=True)
+    assert cs.bvh.depth_token is not None
+    n = 512
+    ro, rd = _rays(n, 16)
+
+    assert bp._ordered_ok(cs.bvh)
+    bt_o, bi_o = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_ORDERED", False)
+    bt_s, bi_s = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_allclose(np.asarray(bt_o), np.asarray(bt_s),
+                               rtol=1e-6, atol=1e-6)
+    same = np.asarray(bi_o) == np.asarray(bi_s)
+    assert same.mean() > 0.99
+    # misses must agree exactly
+    np.testing.assert_array_equal(np.asarray(bi_o) < 0, np.asarray(bi_s) < 0)
 
 
 def test_bvh_vs_brute_force_reference(interpreted_pallas):
