@@ -54,9 +54,12 @@ def run_config(idx: int, scale: float) -> dict:
         # (ops/pallas/bvh_pallas.py) walks the SAH tree from SMEM — the
         # gather-free replacement for the round-1 XLA walk that lost to
         # brute force.  Chunks kept moderate for the TPU watchdog.
+        # shadow_tmax="light" bounds NEE occlusion at the light (this scene
+        # is not a reference-parity target; the 1e6 quirk would force the
+        # any-walk to scan the whole unbounded shadow ray).
         5: ("tpu_path_raytracer", MeshSceneBuilder(grid=3, subdivisions=3),
             dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
-            dict(sample_group=8, chunk_rays=1 << 20,
+            dict(sample_group=8, chunk_rays=1 << 20, shadow_tmax="light",
                  compile_overrides={"use_bvh": True})),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]

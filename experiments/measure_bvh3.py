@@ -52,7 +52,10 @@ def vary(i):
     return V3(o.x + eps, o.y, o.z), d
 
 
-for rows in (16, 32, 64):
+import sys
+
+rows_list = tuple(int(r) for r in sys.argv[1].split(",")) if len(sys.argv) > 1 else (16, 32, 64)
+for rows in rows_list:
     def closest_body(i, rows=rows):
         oo, dd = vary(i)
         bt, bi = bp.bvh_closest_pallas(bvh, oo, dd, 1e-3, 1e6)

@@ -209,7 +209,7 @@ def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
     return color
 
 
-def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth):
+def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth, shadow_tmax: str = "reference"):
     """One path-tracer bounce as a pure-XLA op, returning the same
     ``BounceOut`` weight record as the Pallas megakernel
     (``ops/pallas/bounce_pallas.py``): the base color enters only
@@ -238,8 +238,14 @@ def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth):
     # ---- next-event estimation (every bounce, every material) --------------
     if cs.n_lights > 0:
         r_light = rng.uniform(key, depth, _U_LIGHT)
-        ldir, _dist, pdf = pick_light(cs, point, r_light)
-        occluded = scene_hit_any(cs, above, ldir, _T_MIN, _T_MAX)  # quirk: 1e6
+        ldir, dist, pdf = pick_light(cs, point, r_light)
+        # default reproduces the reference quirk (t_max = 1e6: occluders
+        # *beyond* the light still shadow, cuda_path_tracer.py:275-277);
+        # shadow_tmax="light" bounds the walk at the sampled light point —
+        # physically correct and much cheaper for BVH scenes, where an
+        # unbounded any-walk must scan the whole ray (QUIRKS.md).
+        limit = _T_MAX if shadow_tmax == "reference" else dist - 1e-3
+        occluded = scene_hit_any(cs, above, ldir, _T_MIN, limit)
         cos_theta = jnp.maximum(ldir.dot(normal), 0.0)
         is_glass_cls = refractive > 0.5
         is_mirror_cls = reflective > 0.7
@@ -329,10 +335,14 @@ def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth):
     )
 
 
-def _make_bounce_and_resolve(cs, width_hint: int):
+def _make_bounce_and_resolve(cs, width_hint: int, shadow_tmax: str = "reference"):
     """(bounce_fn, resolve_fn) for this scene: the fused Pallas megakernel on
     TPU (scene fits SMEM), the XLA formulation elsewhere — both returning the
-    same ``BounceOut`` record, verified equivalent in tests."""
+    same ``BounceOut`` record, verified equivalent in tests.
+
+    ``shadow_tmax`` ("reference" | "light") selects the NEE occlusion bound;
+    the megakernel path always uses the reference quirk (it only serves
+    small parity scenes where the 1e6 bound is the look)."""
     from ..ops.intersect import _pallas_enabled
     from ..ops.pallas.texture_pallas import (
         fits_mxu_atlas,
@@ -359,7 +369,7 @@ def _make_bounce_and_resolve(cs, width_hint: int):
             )
     else:
         def bounce_fn(o, d, thr, key, depth):
-            return _bounce_xla(cs, o, d, thr, key, depth)
+            return _bounce_xla(cs, o, d, thr, key, depth, shadow_tmax=shadow_tmax)
 
     use_mxu_tex = fits_mxu_atlas(cs) and (width_hint % 1024 == 0)
     if fits_mxu_atlas(cs) and not use_mxu_tex:
@@ -447,6 +457,7 @@ def _regen_chunk(
     n_samples: int,
     max_depth: int,
     jitter: str,
+    shadow_tmax: str = "reference",
 ):
     """Radiance sums via *ray regeneration*: one persistent pool of ``n_pix``
     lanes where a lane that finishes a path (miss / RR kill / throughput
@@ -482,7 +493,7 @@ def _regen_chunk(
     STRIDE = (int(N * 0.6180339887) | 1) % N if (NS > 1 and _REGEN_SHUFFLE) else 0
     total = width * height
     iter_cap = NS * max_depth + 2  # loop provably terminates; belt-and-braces
-    bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N)
+    bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N, shadow_tmax)
 
     def make_ray(lane_ids, s):
         """Camera ray + RNG key for lane ``lane_ids``'s item ``s`` — exactly
@@ -609,7 +620,8 @@ def _regen_chunk(
 
 @partial(
     jax.jit,
-    static_argnames=("n_pix", "width", "height", "n_samples", "max_depth", "jitter"),
+    static_argnames=("n_pix", "width", "height", "n_samples", "max_depth",
+                     "jitter", "shadow_tmax"),
 )
 def _path_chunk(
     cs,
@@ -624,6 +636,7 @@ def _path_chunk(
     n_samples: int,
     max_depth: int,
     jitter: str,
+    shadow_tmax: str = "reference",
 ):
     """Radiance sums over ``n_samples`` independent samples for one pixel chunk.
 
@@ -645,18 +658,24 @@ def _path_chunk(
         n_samples=n_samples,
         max_depth=max_depth,
         jitter=jitter,
+        shadow_tmax=shadow_tmax,
     )
 
 
 class TPUPathTracer(WavefrontRenderer):
     """Parity renderer for ``cuda_path_raytracer`` — the flagship model."""
 
-    def __init__(self, sample_group: int = 32, jitter: str = "independent", **kw):
+    def __init__(self, sample_group: int = 32, jitter: str = "independent",
+                 shadow_tmax: str = "reference", **kw):
         # independent x/y jitter by default: strictly better sampling, and the
         # reference hero image is a missing blob so there is no RMSE target
         # (BASELINE.md); pass jitter="diagonal" for the quirk-exact stream.
+        # shadow_tmax="light" bounds NEE occlusion at the sampled light
+        # (physically correct, cheaper for BVH scenes) instead of the
+        # reference's 1e6 quirk.
         super().__init__("tpu_path_raytracer", jitter=jitter, **kw)
         self.sample_group = int(sample_group)
+        self.shadow_tmax = str(shadow_tmax)
 
     def get_capabilities(self) -> List[str]:
         return [
@@ -689,6 +708,7 @@ class TPUPathTracer(WavefrontRenderer):
             n_samples=group,
             max_depth=max_depth,
             jitter=jitter,
+            shadow_tmax=self.shadow_tmax,
         )
 
     def render_sums(self, scene, camera, settings, sample_offset=0, n_samples=None):

@@ -395,6 +395,86 @@ def _bvh_any_kernel(
     found_ref[:] = found
 
 
+def _bvh_any_ordered_kernel(
+    m, leaf_size, t_min,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, found_ref, stack_ref,
+):
+    """Occlusion walk with the same near-first stack order as the closest
+    kernel: occluded lanes park sooner (their ``far`` collapses), so blocks
+    skip more subtrees and the all-found exit fires earlier.  Visit order
+    cannot change the result — occlusion is an existence test."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
+    ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+
+    pgx = jnp.sum(jnp.where(dx > 0, 1.0, -1.0)) >= 0.0
+    pgy = jnp.sum(jnp.where(dy > 0, 1.0, -1.0)) >= 0.0
+    pgz = jnp.sum(jnp.where(dz > 0, 1.0, -1.0)) >= 0.0
+
+    stack_ref[0] = jnp.int32(0)
+
+    def cond(carry):
+        step, sp, found = carry
+        return (step < m + 2) & (sp > 0) & (jnp.min(found) < 0.5)
+
+    def body(carry):
+        step, sp, found = carry
+        sp = sp - 1
+        node = stack_ref[sp]
+        b = node * _NODE_F
+        far = jnp.where(found > 0.5, jnp.float32(-1.0), limit)
+        box_hit = _slab(
+            tree_ref[0, b], tree_ref[0, b + 1], tree_ref[0, b + 2],
+            tree_ref[0, b + 3], tree_ref[0, b + 4], tree_ref[0, b + 5],
+            ox, oy, oz, ivx, ivy, ivz, t_min, far,
+        )
+        any_hit = jnp.any(box_hit)
+        base_f = tree_ref[0, b + 7]
+        is_leaf = base_f >= 0.0
+
+        def leaf_fn(fnd):
+            def upd(carry2, win, t, _gid):
+                f = carry2 if carry2 is not None else fnd
+                hit_now = win & box_hit & (t < limit)
+                return jnp.maximum(f, hit_now.astype(jnp.float32))
+
+            return _leaf_tris(
+                slot_ref, base_f.astype(jnp.int32), leaf_size,
+                ox, oy, oz, dx, dy, dz, t_min, upd,
+            )
+
+        found = jax.lax.cond(any_hit & is_leaf, leaf_fn, lambda f: f, found)
+
+        k = (-base_f - 1.0).astype(jnp.int32)
+        axis = jnp.remainder(k, 4)
+        flip = (k // 4) > 0
+        pos = jnp.where(axis == 0, pgx, jnp.where(axis == 1, pgy, pgz))
+        near_is_left = jnp.logical_xor(pos, flip)
+        left = node + 1
+        right = tree_ref[
+            0, jnp.minimum(left, m - 1) * _NODE_F + 6
+        ].astype(jnp.int32)
+        near = jnp.where(near_is_left, left, right)
+        far_child = jnp.where(near_is_left, right, left)
+        push = any_hit & ~is_leaf
+
+        @pl.when(push)
+        def _():
+            stack_ref[sp] = far_child
+            stack_ref[sp + 1] = near
+
+        sp = jnp.where(push, sp + 2, sp)
+        return step + 1, sp, found
+
+    init = (jnp.int32(0), jnp.int32(1), jnp.zeros(ox.shape, jnp.float32))
+    _s, _sp, found = jax.lax.while_loop(cond, body, init)
+    found_ref[:] = found
+
+
 def _blocks(n):
     rows = n // LANES
     block_rows = min(TRAV_ROWS, rows)
@@ -571,13 +651,21 @@ def _bvh_any_unsorted(bvh, ro: V3, rd: V3, t_min: float, limit):
     def rows2(a):
         return a.reshape(rows, LANES)
 
+    if _ordered_ok(bvh):
+        kernel = partial(_bvh_any_ordered_kernel, m, leaf_size, float(t_min))
+        scratch = [pltpu.SMEM((_STACK_CAP,), jnp.int32)]
+    else:
+        kernel = partial(_bvh_any_kernel, m, leaf_size, float(t_min))
+        scratch = []
+
     limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
     found = pl.pallas_call(
-        partial(_bvh_any_kernel, m, leaf_size, float(t_min)),
+        kernel,
         grid=(rows // block_rows,),
         in_specs=[smem, smem] + [spec] * 7,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=scratch,
     )(
         bvh.tree_blob, bvh.slot_blob,
         rows2(ro.x), rows2(ro.y), rows2(ro.z),

@@ -158,6 +158,14 @@ def test_bvh_ordered_matches_skiplink(interpreted_pallas, monkeypatch):
     # misses must agree exactly
     np.testing.assert_array_equal(np.asarray(bi_o) < 0, np.asarray(bi_s) < 0)
 
+    # occlusion is an existence test: ordered == skip-link exactly
+    monkeypatch.setattr(bp, "BVH_ORDERED", True)
+    lim = np.full(n, 14.0, np.float32)
+    occ_o = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    monkeypatch.setattr(bp, "BVH_ORDERED", False)
+    occ_s = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    np.testing.assert_array_equal(occ_o, occ_s)
+
 
 def test_bvh_vs_brute_force_reference(interpreted_pallas):
     """The Pallas walk must agree with the no-BVH brute-force sweep (the

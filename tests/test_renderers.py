@@ -75,6 +75,22 @@ def test_deterministic_same_seed(cornell):
     assert (a != c).any()
 
 
+def test_shadow_tmax_light_mode(cornell):
+    """``shadow_tmax="light"`` bounds NEE occlusion at the sampled light;
+    relaxing the 1e6 quirk can only *remove* shadowing, so per-pixel radiance
+    sums must be >= the quirk mode's (and differ somewhere in the Cornell box,
+    where the quirk's beyond-light occluders exist)."""
+    scene, cam = cornell
+    s = ptrt.RenderSettings(**SMALL)
+    ref = ptrt.RendererFactory.create("tpu_path_raytracer", seed=3)
+    lit = ptrt.RendererFactory.create("tpu_path_raytracer", seed=3,
+                                      shadow_tmax="light")
+    sums_ref = np.asarray(ref.render_sums(scene, cam, s))
+    sums_lit = np.asarray(lit.render_sums(scene, cam, s))
+    assert (sums_lit >= sums_ref - 1e-5).all()
+    assert (sums_lit > sums_ref + 1e-5).any()
+
+
 def test_grid_spp_quirk(cornell):
     """Requesting spp=24 sums only 16 grid samples but divides by 24
     (SURVEY.md §2 quirk 9) → image is ~2/3 the brightness of spp=16."""
