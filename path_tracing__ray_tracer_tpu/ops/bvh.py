@@ -29,7 +29,14 @@ import numpy as np
 
 from .v3 import V3
 
-LEAF_SIZE = 4
+# leaves hold up to LEAF_SIZE triangles.  16 is the measured optimum for the
+# block-synchronous Pallas walk (v5e, 11.5K-tri mesh, 131K rays): per-step
+# overhead (scalar node reads + vector→scalar any-reduce) dominates the walk,
+# so fat leaves that shrink the tree win even though each leaf visit tests
+# more triangles.  closest/any Mrays/s by leaf size — 4: 9.9/7.2 incoherent,
+# 50/35 camera; 8: 11.9/9.4, 37/47; 16: 13.4/11.7, 70/60; 32: 13.3/12.0,
+# 55/49 (experiments/measure_bvh4.py).
+LEAF_SIZE = 16
 _SAH_BINS = 16
 
 
