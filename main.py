@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--debug-nans", action="store_true", help="enable JAX NaN checking (slow)"
     )
     parser.add_argument(
+        "--shadow-tmax",
+        choices=["reference", "light"],
+        default="reference",
+        help=(
+            "path-tracer NEE occlusion bound: 'reference' reproduces the "
+            "1e6 quirk (occluders beyond the light still shadow), 'light' "
+            "bounds at the sampled light point (physically correct, faster "
+            "for BVH scenes)"
+        ),
+    )
+    parser.add_argument(
         "--texture-budget",
         type=int,
         default=0,
@@ -150,6 +161,10 @@ def main(argv=None) -> int:
     }
     if args.jitter:
         kwargs["jitter"] = args.jitter
+    if args.shadow_tmax != "reference" and RendererFactory.resolve(
+        args.renderer
+    ) == "tpu_path_raytracer":
+        kwargs["shadow_tmax"] = args.shadow_tmax
     if args.devices:
         from path_tracing__ray_tracer_tpu.parallel.mesh import make_mesh
 

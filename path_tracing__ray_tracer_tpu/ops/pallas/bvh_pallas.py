@@ -42,6 +42,13 @@ LANES = 128
 # rays per traversal block: wider blocks amortize the per-step vector→scalar
 # ``any`` reduction over more rays (the step cost is reduction-dominated)
 TRAV_ROWS = 32
+# stack pops per while-loop iteration in the ordered closest walk.  Measured
+# flat (12.9/12.7/13.2 Mrays/s incoherent at 1/2/4, ls=16): Mosaic does not
+# overlap one pop's any-reduction with the next pop's slab math, so the
+# per-step cost is genuinely the vector work + serialized reduction, not
+# loop overhead.  Kept at 1; the unroll machinery stays for re-measurement
+# on future toolchains (experiments/measure_bvh5.py).
+TRAV_UNROLL = 1
 # node record: lo(3) hi(3) skip slot_base.  ``slot_base`` doubles as the
 # node-kind discriminator: >= 0 is a leaf (slot offset), < 0 is an inner node
 # encoding ``-(1 + axis + 4*flip)`` where ``axis`` is the child-separating
@@ -271,18 +278,22 @@ def _bvh_closest_ordered_kernel(
 
     def cond(carry):
         step, sp, *_ = carry
-        return (sp > 0) & (step < m + 2)
+        return (sp > 0) & (step < m + 1 + TRAV_UNROLL)
 
-    def body(carry):
+    def body1(carry):
+        """One stack pop, guarded by ``sp > 0`` so ``TRAV_UNROLL`` copies can
+        run back-to-back between loop-condition checks (the exhausted case is
+        a masked no-op)."""
         step, sp, best_t, best_i = carry
-        sp = sp - 1
+        alive = sp > 0
+        sp = jnp.maximum(sp - 1, 0)
         node = stack_ref[sp]
         b = node * _NODE_F
         box_hit = _slab(
             tree_ref[0, b], tree_ref[0, b + 1], tree_ref[0, b + 2],
             tree_ref[0, b + 3], tree_ref[0, b + 4], tree_ref[0, b + 5],
             ox, oy, oz, ivx, ivy, ivz, t_min, best_t,
-        )
+        ) & alive
         any_hit = jnp.any(box_hit)
         base_f = tree_ref[0, b + 7]
         is_leaf = base_f >= 0.0
@@ -329,6 +340,11 @@ def _bvh_closest_ordered_kernel(
 
         sp = jnp.where(push, sp + 2, sp)
         return step + 1, sp, best_t, best_i
+
+    def body(carry):
+        for _ in range(TRAV_UNROLL):
+            carry = body1(carry)
+        return carry
 
     init = (
         jnp.int32(0),

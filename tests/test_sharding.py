@@ -44,6 +44,28 @@ def test_whitted_sharded_equals_single(cornell):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_bvh_scene_sharded_equals_single():
+    """shard_map composed with the BVH traversal path (mesh scene compiled
+    with use_bvh): sharded must equal single-device bit-for-bit tolerance."""
+    from path_tracing__ray_tracer_tpu.scene_builders.mesh_scene_builder import (
+        MeshSceneBuilder,
+    )
+
+    b = MeshSceneBuilder(grid=1, subdivisions=1)
+    scene = b.build_scene()
+    cam = b.create_camera(4 / 3)
+    s = ptrt.RenderSettings(width=32, height=24, samples_per_pixel=2, max_depth=2)
+    kw = dict(seed=3, sample_group=2, shadow_tmax="light",
+              compile_overrides={"use_bvh": True})
+    single = ptrt.RendererFactory.create("tpu_path_raytracer", **kw)
+    a = single.render_array(scene, cam, s)
+    assert single.compiled(scene).bvh is not None
+    mesh = make_mesh(8, sample_parallel=2)
+    sharded = ptrt.RendererFactory.create("tpu_path_raytracer", mesh=mesh, **kw)
+    b2 = sharded.render_array(scene, cam, s)
+    np.testing.assert_allclose(a, b2, atol=1e-5)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
