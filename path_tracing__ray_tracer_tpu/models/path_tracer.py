@@ -67,20 +67,19 @@ def _zero(shape):
     return V3.full(0.0, shape)
 
 
-def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
+def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int,
+                  shadow_tmax: str = "reference") -> V3:
     """Trace one batch of camera rays to completion (one radiance sample).
 
-    On TPU (scene fits SMEM) the bounce body runs as one fused Pallas
-    megakernel; the pure-XLA wavefront below is the reference implementation
-    and the CPU/large-scene path.
+    One loop over the shared per-bounce body (``_make_bounce_and_resolve``:
+    the fused Pallas megakernel on TPU when the scene fits SMEM, the XLA
+    ``_bounce_xla`` formulation elsewhere) — the same physics the chunked
+    regeneration driver (``_regen_chunk``) runs, minus the lane scheduling.
     """
-    from ..ops.intersect import _pallas_enabled
-
-    if _pallas_enabled(cs):
-        return _path_radiance_pallas(cs, org, rd, key, max_depth)
-
+    bounce_fn, resolve_fn = _make_bounce_and_resolve(
+        cs, org.x.shape[0], shadow_tmax
+    )
     n = org.x.shape
-    has_lights = cs.n_lights > 0
 
     def cond(state):
         depth, *_rest, active = state
@@ -88,113 +87,18 @@ def path_radiance(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
 
     def body(state):
         depth, o, d, thr, color, active = state
-        hit = scene_hit(cs, o, d, _T_MIN, _T_MAX)
-
-        # ---- miss: constant sky, lane dies ---------------------------------
-        miss = active & ~hit.hit
-        color = color + V3.where(miss, thr * _SKY, _zero(n))
-        live = active & hit.hit
-
-        mats = gather_material(cs.materials, hit.prim)
-        (mcolor, diffuse, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
-        base = resolve_base_color(cs, mcolor, has_tex, tex_id, hit.u, hit.v)
-        normal = hit.normal
-        point = hit.point
-        above = point + normal * _EPS_OFFSET
-
-        # ---- next-event estimation (every bounce, every material) ----------
-        if has_lights:
-            r_light = rng.uniform(key, depth, _U_LIGHT)
-            ldir, _dist, pdf = pick_light(cs, point, r_light)
-            occluded = scene_hit_any(cs, above, ldir, _T_MIN, _T_MAX)  # quirk: 1e6, not dist
-            cos_theta = jnp.maximum(ldir.dot(normal), 0.0)
-
-            is_glass_cls = refractive > 0.5
-            is_mirror_cls = reflective > 0.7
-            intensity = jnp.where(is_glass_cls, 4.0, jnp.where(is_mirror_cls, 2.5, 2.0))
-            multiplier = jnp.where(is_glass_cls, 0.6, jnp.where(is_mirror_cls, 0.8, 1.0))
-
-            scale = diffuse * cos_theta * intensity * multiplier / pdf
-            contrib = base * scale
-            lit = live & ~occluded
-            color = color + V3.where(lit, thr * contrib, _zero(n))
-
-        # ---- Russian roulette from depth >= 3 -------------------------------
-        survival = jnp.maximum(0.1, thr.luminance())
-        rr_on = depth >= 3
-        killed = rr_on & (rng.uniform(key, depth, _U_RR) > survival)
-        thr = V3.where(live & rr_on & ~killed, thr * (1.0 / survival), thr)
-        live = live & ~killed
-
-        # ---- scatter event ----------------------------------------------------
-        choice = rng.uniform(key, depth, _U_EVENT)
-        r1 = rng.uniform(key, depth, _U_HEMI1)
-        r2 = rng.uniform(key, depth, _U_HEMI2)
-
-        refl_dir = d.reflect(normal)
-        refl_org = above
-        hemi_dir = cosine_hemisphere(normal, r1, r2)
-
-        # glass refraction event (cuda_path_tracer.py:328-388)
-        cos_i = jnp.maximum(0.0, -d.dot(normal))
-        entering = cos_i > 0.0
-        eta = jnp.where(entering, 1.0 / ior, ior)
-        outward = V3.where(entering, normal, -normal)
-        refr_ok, refr_dir = refract(d, outward, eta)
-        refr_org = V3.where(entering, point - normal * _EPS_OFFSET, above)
-
-        glass = refractive > 0.1
-        mirror = ~glass & (reflective > 0.5)
-        lambertian = ~glass & ~mirror
-
-        ev_refract = glass & (choice < _P_REFRACT)
-        ev_reflect = glass & (choice >= _P_REFRACT) & (choice < _P_REFRACT + _P_REFLECT)
-        ev_diffuse = glass & (choice >= _P_REFRACT + _P_REFLECT)
-
-        # new direction / origin per lane
-        new_d = V3.where(
-            ev_refract,
-            V3.where(refr_ok, refr_dir, refl_dir),  # TIR falls back to mirror
-            V3.where(ev_reflect | mirror, refl_dir, hemi_dir),
+        out = bounce_fn(o, d, thr, key, depth)
+        base = resolve_fn(out)
+        contrib = thr * out.w_sky + thr * (base * out.w_nee)
+        color = color + V3.where(active, contrib, _zero(n))
+        live = active & out.hit & ~out.killed
+        thr_new = thr * out.rr_scale * (
+            base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
         )
-        new_o = V3.where(
-            ev_refract,
-            V3.where(refr_ok, refr_org, refl_org),
-            refl_org,  # reflect/diffuse/mirror/lambertian all offset along +n
-        )
-
-        # throughput update per event (pdf-corrected, reference constants)
-        ones = V3.full(1.0, n)
-        thr_refract = V3.where(
-            refr_ok,
-            ones * (refractive / _P_REFRACT),
-            ones * 0.9,  # TIR: flat 0.9 (cuda_path_tracer.py:386-388)
-        )
-        thr_reflect = base * (0.9 / _P_REFLECT)
-        thr_diffuse_g = base * (diffuse * 3.0 / _P_DIFFUSE)
-        thr_mirror = base * reflective
-        thr_lambert = base * diffuse
-
-        mult = V3.where(
-            ev_refract,
-            thr_refract,
-            V3.where(
-                ev_reflect,
-                thr_reflect,
-                V3.where(
-                    ev_diffuse,
-                    thr_diffuse_g,
-                    V3.where(mirror, thr_mirror, thr_lambert),
-                ),
-            ),
-        )
-        thr = V3.where(live, thr * mult, thr)
-
-        # throughput cutoff (cuda_path_tracer.py:468)
+        thr = V3.where(live, thr_new, thr)
         live = live & (thr.max_component() >= 0.001)
-
-        o = V3.where(live, new_o, o)
-        d = V3.where(live, new_d, d)
+        o = V3.where(live, out.new_org, o)
+        d = V3.where(live, out.new_dir, d)
         return depth + 1, o, d, thr, color, live
 
     init = (
@@ -340,9 +244,9 @@ def _make_bounce_and_resolve(cs, width_hint: int, shadow_tmax: str = "reference"
     TPU (scene fits SMEM), the XLA formulation elsewhere — both returning the
     same ``BounceOut`` record, verified equivalent in tests.
 
-    ``shadow_tmax`` ("reference" | "light") selects the NEE occlusion bound;
-    the megakernel path always uses the reference quirk (it only serves
-    small parity scenes where the 1e6 bound is the look)."""
+    ``shadow_tmax`` ("reference" | "light") selects the NEE occlusion bound
+    and is honored by both paths (the megakernel takes it as a static
+    compile flag)."""
     from ..ops.intersect import _pallas_enabled
     from ..ops.pallas.texture_pallas import (
         fits_mxu_atlas,
@@ -366,6 +270,7 @@ def _make_bounce_and_resolve(cs, width_hint: int, shadow_tmax: str = "reference"
             return path_bounce_pallas(
                 cs, blob, mat_blob, light_blob, o, d, thr, key, depth,
                 t_min=_T_MIN, t_max=_T_MAX,
+                shadow_light=(shadow_tmax == "light"),
             )
     else:
         def bounce_fn(o, d, thr, key, depth):
@@ -396,52 +301,6 @@ def _make_bounce_and_resolve(cs, width_hint: int, shadow_tmax: str = "reference"
         )
 
     return bounce_fn, resolve_fn
-
-
-def _path_radiance_pallas(cs, org: V3, rd: V3, key: jnp.ndarray, max_depth: int) -> V3:
-    """Full-width bounce loop around the fused Pallas megakernel.
-
-    The kernel returns multiplicative shading weights (the texture/base color
-    cannot be fetched in-kernel); this glue resolves the base color and
-    applies:  color += thr·(w_sky + base·w_nee);  thr *= rr·(s + base·t).
-
-    This is the simple per-batch radiance API; the chunked render path uses
-    ``_regen_chunk`` instead, which keeps lane occupancy high by regenerating
-    finished lanes with their next sample.
-    """
-    bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, org.x.shape[0])
-    n = org.x.shape
-
-    def cond(state):
-        depth, *_rest, active = state
-        return (depth < max_depth) & jnp.any(active)
-
-    def body(state):
-        depth, o, d, thr, color, active = state
-        out = bounce_fn(o, d, thr, key, depth)
-        base = resolve_fn(out)
-        contrib = thr * out.w_sky + thr * (base * out.w_nee)
-        color = color + V3.where(active, contrib, _zero(n))
-        live = active & out.hit & ~out.killed
-        thr_new = thr * out.rr_scale * (
-            base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
-        )
-        thr = V3.where(live, thr_new, thr)
-        live = live & (thr.max_component() >= 0.001)
-        o = V3.where(live, out.new_org, o)
-        d = V3.where(live, out.new_dir, d)
-        return depth + 1, o, d, thr, color, live
-
-    init = (
-        jnp.int32(0),
-        org,
-        rd,
-        V3.full(1.0, n),
-        _zero(n),
-        jnp.ones(n, dtype=bool),
-    )
-    *_s, color, _a = jax.lax.while_loop(cond, body, init)
-    return color
 
 
 def _regen_chunk(
@@ -481,8 +340,11 @@ def _regen_chunk(
     * **Narrow tail phase.**  The main loop runs while more than ``tail``
       lanes are unfinished; the stragglers are then compacted into one small
       batch that finishes at low width.  Contributions always accumulate in
-      (sample, depth) order per pixel, so the result is bit-identical to the
-      per-sample loop regardless of where the phase boundary falls.
+      (sample, depth) order per pixel, so the result is bit-identical
+      *across phase boundaries* — where the tail cutover falls cannot change
+      the image.  (Against the separate per-sample-loop implementation the
+      match is FMA-level, not bitwise: the two compiled loop bodies may
+      reassociate differently — see tests/test_regen.py.)
 
     RNG keys are pure functions of (seed, pixel, sample), so every radiance
     sample is identical to the per-sample loop's — only lane scheduling
@@ -643,8 +505,11 @@ def _path_chunk(
     Per-sample pixel jitter is uniform (``cuda_path_tracer.py:34-36``); in
     ``faithful`` mode the x and y jitters share one draw (the reference reads
     the unadvanced RNG state twice — SURVEY.md §2 quirk 2).  Work is scheduled
-    by ray regeneration (see ``_regen_chunk``); the result is bit-identical to
-    the straightforward per-sample loop over ``path_radiance``.
+    by ray regeneration (see ``_regen_chunk``): same RNG streams and per-item
+    math as the per-sample loop over ``path_radiance``, equal up to FMA-level
+    reassociation between the two compiled loop bodies (tests/test_regen.py
+    bounds the drift; renders for a fixed scheduler are exactly
+    deterministic and chunk/shard/progressive-invariant).
     """
     return _regen_chunk(
         cs,

@@ -97,6 +97,7 @@ def _mat_sweep_select(mat_ref, n_mats: int, best_i):
 
 def _path_bounce_kernel(
     layout, n_mats: int, n_lights: int, t_min: float, t_max: float,
+    shadow_light: bool,
     # refs
     blob_ref, mat_ref, light_ref, depth_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -146,9 +147,13 @@ def _path_bounce_kernel(
         sox = px + nx * _EPS
         soy = py + ny * _EPS
         soz = pz + nz * _EPS
+        # shadow bound: the reference quirk scans to t_max=1e6 (occluders
+        # beyond the light still shadow); shadow_light bounds the sweep at
+        # the sampled light point (models/path_tracer.py shadow_tmax)
+        shadow_bound = dist - 1e-3 if shadow_light else t_max
         _st, occ_i, *_ = _sweep_prims(
-            blob_ref, layout, sox, soy, soz, ldx, ldy, ldz, t_min, t_max,
-            want_attrs=False,
+            blob_ref, layout, sox, soy, soz, ldx, ldy, ldz, t_min,
+            shadow_bound, want_attrs=False,
         )
         lit = occ_i < 0
 
@@ -292,7 +297,7 @@ class BounceOut(NamedTuple):
 
 def path_bounce_pallas(
     cs: CompiledScene, blob, mat_blob, light_blob, ro: V3, rd: V3, thr: V3,
-    key, depth, t_min=1e-3, t_max=1e6,
+    key, depth, t_min=1e-3, t_max=1e6, shadow_light: bool = False,
 ) -> BounceOut:
     layout = blob_layout(cs)
     n = ro.x.shape[0]
@@ -314,7 +319,7 @@ def path_bounce_pallas(
     outs = pl.pallas_call(
         partial(
             _path_bounce_kernel, layout, n_mats, cs.n_lights, float(t_min),
-            float(t_max),
+            float(t_max), bool(shadow_light),
         ),
         grid=(pl.cdiv(rows, ROW_BLOCK),),
         in_specs=[smem, smem, smem, ispec] + [spec] * 10,

@@ -111,9 +111,19 @@ def test_bounce_megakernel_matches_xla(cornell, interpreted_pallas):
     key = prng.ray_key(jnp.uint32(0), jnp.arange(n), 0)
 
     rad_k = path_radiance(cs, ro, rd, key, max_depth=3)
+    rad_k_light = path_radiance(cs, ro, rd, key, max_depth=3,
+                                shadow_tmax="light")
     intersect.USE_PALLAS = False
     rad_x = path_radiance(cs, ro, rd, key, max_depth=3)
+    rad_x_light = path_radiance(cs, ro, rd, key, max_depth=3,
+                                shadow_tmax="light")
 
     a = np.asarray(rad_k.to_array())
     b = np.asarray(rad_x.to_array())
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    # shadow_tmax="light" must be honored by the megakernel too, and agree
+    # with the XLA formulation
+    np.testing.assert_allclose(
+        np.asarray(rad_k_light.to_array()), np.asarray(rad_x_light.to_array()),
+        rtol=1e-4, atol=1e-4,
+    )
