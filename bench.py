@@ -95,9 +95,11 @@ def main() -> int:
     wimg = whitted.render(scene, wcam, wsettings)
     whitted_s = time.time() - t0
 
+    from path_tracing__ray_tracer_tpu.utils.assets import reference_render_path
+
     rmse_255 = None
-    ref_png = "/root/reference/output_RayTracer.png"
-    if os.path.exists(ref_png):
+    ref_png = reference_render_path()
+    if ref_png and os.path.exists(ref_png):
         import numpy as np
         from PIL import Image
 

@@ -161,10 +161,14 @@ def main(argv=None) -> int:
     }
     if args.jitter:
         kwargs["jitter"] = args.jitter
-    if args.shadow_tmax != "reference" and RendererFactory.resolve(
-        args.renderer
-    ) == "tpu_path_raytracer":
-        kwargs["shadow_tmax"] = args.shadow_tmax
+    if args.shadow_tmax != "reference":
+        if RendererFactory.resolve(args.renderer) == "tpu_path_raytracer":
+            kwargs["shadow_tmax"] = args.shadow_tmax
+        else:
+            print(
+                f"Warning: --shadow-tmax {args.shadow_tmax} only applies to "
+                "the path tracer; ignored for this renderer"
+            )
     if args.devices:
         from path_tracing__ray_tracer_tpu.parallel.mesh import make_mesh
 
@@ -181,6 +185,16 @@ def main(argv=None) -> int:
         print(f"Estimated render time: ~{eta:.0f}s (Global Illumination)")
     elif resolved == "cpu_raytracer":
         print("Estimated render time: 30-60s+ (CPU-parity oracle)")
+        from path_tracing__ray_tracer_tpu.models.whitted_oracle import (
+            ORACLE_MAX_DEPTH,
+        )
+
+        if args.depth > ORACLE_MAX_DEPTH:
+            print(
+                f"Note: cpu_raytracer clamps depth to {ORACLE_MAX_DEPTH} "
+                f"(requested {args.depth}); fork chains beyond carry "
+                "<0.85^12 of a glass path's energy (QUIRKS.md)"
+            )
     else:
         eta = max(3.0, px * effective_samples * args.depth / 1.3e9 + 3)
         print(f"Estimated render time: ~{eta:.0f}s (TPU accelerated)")

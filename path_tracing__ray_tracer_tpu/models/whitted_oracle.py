@@ -324,6 +324,10 @@ class CPUParityRayTracer(WavefrontRenderer):
         # level-synchronous evaluation allocates n_pix·2^depth lanes at the
         # deepest level; shrink the pixel chunk so that stays bounded
         depth = min(max_depth, ORACLE_MAX_DEPTH)
+        if depth < max_depth:
+            from ..utils.logging import log_event
+
+            log_event("depth_clamped", requested=max_depth, effective=depth)
         group = self._samples_per_group(spp)
         budget_rays = max(1024, _LEVEL_LANE_BUDGET >> depth) * max(group, 1)
         old = self.chunk_rays

@@ -1,8 +1,10 @@
 """Texture asset resolution.
 
 The reference ships seven JPEGs under ``textures/`` (six Rubik's-cube face
-scans ~1300² px and the 2978×2393 canvas painting).  This repo does not copy
-those binaries; instead textures are resolved at runtime:
+scans ~1300² px and the 2978×2393 canvas painting).  Since round 3 these are
+vendored under ``textures/`` at the repo root (provenance documented in
+``textures/PROVENANCE.md``) so a mount-less clone reproduces the parity
+renders.  Resolution order at runtime:
 
 1. ``$PTRT_TEXTURE_DIR`` if set,
 2. ``textures/`` next to the repo root,
@@ -50,6 +52,20 @@ def texture_dir() -> str:
 
 def texture_path(name: str) -> str:
     return os.path.join(texture_dir(), name)
+
+
+def reference_render_path() -> str | None:
+    """The reference's published 2000×1500 render (`output_RayTracer.png`),
+    the RMSE comparison target.  Vendored copy first (see
+    ``textures/PROVENANCE.md``), then the read-only reference mount."""
+    for p in (
+        str(Path(__file__).resolve().parents[2] / "reference_artifacts"
+            / "output_RayTracer.png"),
+        "/root/reference/output_RayTracer.png",
+    ):
+        if os.path.isfile(p):
+            return p
+    return None
 
 
 def _generate_stand_ins() -> str:

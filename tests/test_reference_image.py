@@ -14,12 +14,16 @@ import numpy as np
 import pytest
 
 import path_tracing__ray_tracer_tpu as ptrt
+from path_tracing__ray_tracer_tpu.utils.assets import reference_render_path
 
-REF_IMAGE = "/root/reference/output_RayTracer.png"
+REF_IMAGE = reference_render_path()
 
 pytestmark = [
     pytest.mark.slow,
-    pytest.mark.skipif(not os.path.exists(REF_IMAGE), reason="reference image absent"),
+    pytest.mark.skipif(
+        REF_IMAGE is None or not os.path.exists(REF_IMAGE),
+        reason="reference image absent",
+    ),
 ]
 
 
