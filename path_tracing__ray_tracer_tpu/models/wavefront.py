@@ -35,6 +35,19 @@ from ..utils.profiling import Timer, mrays_per_sec
 from .base import BaseRenderer
 
 
+# Batched multi-chunk dispatch: on the tunneled backend every executable
+# launch pays a ~30 ms host-sync floor, so small renders that split into many
+# chunks are floor-bound, not compute-bound (BENCHMARKS.md note 2).  When a
+# render needs several pixel chunks, up to _DISPATCH_BATCH_MAX of them are
+# driven by ONE jitted ``lax.map`` over chunk offsets (each mapped element
+# running its full sample-group loop), cutting dispatches ~K×.  The target
+# caps per-executable work: a single launch should stay well under the TPU
+# watchdog and keep host/device pipelining for large renders (which are not
+# floor-bound anyway — they skip batching via the ray target).
+_DISPATCH_TARGET_RAYS = 64_000_000
+_DISPATCH_BATCH_MAX = 32
+
+
 def pixel_coords(pix0, n_pix: int, width: int, height: int):
     """Flat pixel ids → (x, y measured from the bottom row).  Out-of-frame
     lanes are clamped to the last pixel; the driver discards them on host."""
@@ -199,34 +212,99 @@ class WavefrontRenderer(BaseRenderer):
 
         # dispatch every chunk asynchronously, then fetch once: device compute
         # pipelines ahead of the host, and each host sync costs ~30 ms on the
-        # tunneled backend
-        pending = []
+        # tunneled backend.  Small multi-chunk renders additionally batch
+        # several pixel chunks into one lax.map dispatch (see module consts).
+        pix0_list = list(range(0, w * h, n_pix))
+        batch_k = self._dispatch_batch(
+            cs, n_pix, n_samples, settings.max_depth, len(pix0_list)
+        )
+
+        pending = []  # (list_of_pix0, device_array (k, n_pix, 3))
         with self._device_scope():
-            for pix0 in range(0, w * h, n_pix):
-                chunk_sum = None
-                for s0 in range(sample_offset, sample_offset + n_samples, group):
-                    out = chunk_fn(
+            if batch_k > 1:
+                n_groups = -(-n_samples // group)
+                for b0 in range(0, len(pix0_list), batch_k):
+                    batch = pix0_list[b0 : b0 + batch_k]
+                    fn = self._batched_fn(chunk_fn, len(batch), n_groups, group)
+                    out = fn(
                         cs,
                         cam12,
-                        jnp.int32(pix0),
+                        jnp.asarray(batch, jnp.int32),
                         jnp.uint32(self.seed),
-                        jnp.int32(s0),
+                        jnp.int32(sample_offset),
                     )
-                    chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
-                pending.append((pix0, chunk_sum.to_array()))
+                    pending.append((batch, out.to_array()))
+            else:
+                for pix0 in pix0_list:
+                    chunk_sum = None
+                    for s0 in range(sample_offset, sample_offset + n_samples, group):
+                        out = chunk_fn(
+                            cs,
+                            cam12,
+                            jnp.int32(pix0),
+                            jnp.uint32(self.seed),
+                            jnp.int32(s0),
+                        )
+                        chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
+                    pending.append(([pix0], chunk_sum.to_array()[None]))
 
         sums = np.zeros((w * h, 3), dtype=np.float32)
-        n_chunks = len(pending)
-        for ci, (pix0, block_dev) in enumerate(pending):
-            block = np.asarray(block_dev)  # blocks until this chunk computes
-            take = min(n_pix, w * h - pix0)
-            sums[pix0 : pix0 + take] += block[:take]
-            if self.progress_label and n_chunks > 1:
-                # in-flight progress, the analogue of the reference CPU
-                # renderer's every-50-rows print (cpu_renderer.py:64-65)
-                rows_done = min(h, (pix0 + take) // max(w, 1))
-                print(f"{self.progress_label}: {rows_done}/{h} rows")
+        for batch, block_dev in pending:
+            block = np.asarray(block_dev)  # blocks until this batch computes
+            for k, pix0 in enumerate(batch):
+                take = min(n_pix, w * h - pix0)
+                sums[pix0 : pix0 + take] += block[k, :take]
+                if self.progress_label and len(pix0_list) > 1:
+                    # in-flight progress, the analogue of the reference CPU
+                    # renderer's every-50-rows print (cpu_renderer.py:64-65)
+                    rows_done = min(h, (pix0 + take) // max(w, 1))
+                    print(f"{self.progress_label}: {rows_done}/{h} rows")
         return sums
+
+    def _dispatch_batch(
+        self, cs, n_pix: int, n_samples: int, max_depth: int, n_chunks: int
+    ) -> int:
+        """How many pixel chunks one dispatch should drive.  Batches only the
+        small fast renders that are floor-bound: single-device, GPU-parity
+        renderers (the oracle's fork cost is not captured by the ray count),
+        brute-force scenes (BVH chunks run ~20× slower per ray), and only
+        while total per-dispatch work stays under the ray target."""
+        if n_chunks <= 1 or self.mesh is not None or not self.gpu_parity:
+            return 1
+        if getattr(cs, "bvh", None) is not None:
+            return 1
+        rays_per_chunk = max(1, n_pix * n_samples * max_depth)
+        return int(
+            min(n_chunks, _DISPATCH_BATCH_MAX,
+                max(1, _DISPATCH_TARGET_RAYS // rays_per_chunk))
+        )
+
+    def _batched_fn(self, chunk_fn: Callable, k: int, n_groups: int, group: int):
+        """One jitted dispatch driving ``k`` pixel chunks via ``lax.map``;
+        each mapped element accumulates its ``n_groups`` sample groups with
+        the same sequential adds as the unbatched host loop (bit-compatible
+        accumulation order)."""
+        key = (id(chunk_fn), k, n_groups, group)
+        if key not in self._jit_cache:
+
+            def run(cs, cam12, pix0s, seed, s0_base):
+                def one(pix0):
+                    acc = chunk_fn(cs, cam12, pix0, seed, s0_base)
+
+                    def body(i, a):
+                        return jax.tree.map(
+                            jnp.add, a,
+                            chunk_fn(cs, cam12, pix0, seed, s0_base + i * group),
+                        )
+
+                    if n_groups > 1:
+                        acc = jax.lax.fori_loop(1, n_groups, body, acc)
+                    return acc
+
+                return jax.lax.map(one, pix0s)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
 
     def render_array(self, scene: Scene, camera: Camera, settings: RenderSettings) -> np.ndarray:
         """Float image in [0,1], shape (H*W, 3), bottom-up row order."""

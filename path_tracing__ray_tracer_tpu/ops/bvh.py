@@ -53,6 +53,10 @@ class FlatBVH(NamedTuple):
     # shape-encoded max tree depth (root = 1): ``shape[0]`` bounds the ordered
     # walk's stack.  An array because jit erases Python ints but keeps shapes.
     depth_token: jnp.ndarray = None  # (depth,) int8 zeros
+    # BVH4 (two collapsed levels) node records for the 4-wide Pallas walk;
+    # shares slot_blob with the BVH2 blobs.  None when the root is a leaf.
+    quad_blob: jnp.ndarray = None  # (1, 32·M4) f32
+    quad_depth_token: jnp.ndarray = None  # (depth4,) int8 zeros
 
     @property
     def n_nodes(self) -> int:
@@ -210,8 +214,9 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
     """Upload a ``build_bvh`` result; with triangle vertices also pack the
     scalar blobs that enable the Pallas block-synchronous traversal."""
     tree_blob = slot_blob = depth_token = None
+    quad_blob = quad_depth_token = None
     if v0 is not None:
-        from .pallas.bvh_pallas import pack_blobs
+        from .pallas.bvh_pallas import pack_blobs, pack_blobs4
 
         tree_np, slot_np, depth = pack_blobs(arrs, np.asarray(v0, np.float32),
                                              np.asarray(v1, np.float32),
@@ -220,6 +225,10 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
         slot_blob = jnp.asarray(slot_np)
         # static tree-depth carrier: jit args lose Python ints, shapes survive
         depth_token = jnp.zeros((depth,), jnp.int8)
+        quad_np, depth4 = pack_blobs4(arrs)
+        if quad_np is not None:
+            quad_blob = jnp.asarray(quad_np)
+            quad_depth_token = jnp.zeros((depth4,), jnp.int8)
     return FlatBVH(
         lo=jnp.asarray(arrs["lo"]),
         hi=jnp.asarray(arrs["hi"]),
@@ -229,6 +238,8 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
         tree_blob=tree_blob,
         slot_blob=slot_blob,
         depth_token=depth_token,
+        quad_blob=quad_blob,
+        quad_depth_token=quad_depth_token,
     )
 
 

@@ -55,6 +55,11 @@ TRAV_UNROLL = 1
 # axis and ``flip`` says the left child's centroid is the greater one — the
 # ordered (stack) walk uses it to visit the near child first.
 _NODE_F = 8
+# BVH4 node record (two collapsed BVH2 levels): 4 child boxes (24), 4 child
+# metas (leaf → slot_base ≥ 0, inner → -(1+bvh4_index), empty → never-hit
+# box), then the three split codes (axis + 4*flip) of the collapsed BVH2
+# parent / left / right inner nodes for near-first child ordering, + 1 pad.
+_NODE4_F = 32
 # per-block traversal stack capacity (SMEM scratch, int32); trees deeper than
 # this fall back to the stackless skip-link kernel via the depth token gate
 _STACK_CAP = 192
@@ -97,15 +102,9 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     # (ops/bvh.py flatten): left(i) = i + 1, right(i) = skip[i + 1] — the left
     # child's skip always lands on the right subtree root.
     inner = np.where(~is_leaf)[0]
+    codes = _split_codes(lo, hi, skip, is_leaf)
     if len(inner):
-        left = inner + 1
-        right = skip[left]
-        lc = (lo[left] + hi[left]) * 0.5
-        rc = (lo[right] + hi[right]) * 0.5
-        diff = rc - lc
-        axis = np.argmax(np.abs(diff), axis=1)
-        flip = diff[np.arange(len(inner)), axis] < 0.0  # left centroid greater
-        tree[inner, 7] = -(1.0 + axis + 4.0 * flip)
+        tree[inner, 7] = -(1.0 + codes[inner])
 
     # max depth via the same child pointers (iterative, host side)
     depth = 1
@@ -131,13 +130,106 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     return tree.reshape(1, -1), rec.reshape(1, -1), depth
 
 
+def _split_codes(lo, hi, skip, is_leaf) -> np.ndarray:
+    """Per-node split code ``axis + 4*flip`` (0..7) for inner nodes, 0 for
+    leaves.  ``axis`` is the dominant child-centroid-separating axis and
+    ``flip`` says the *left* child's centroid is the greater one; near-first
+    walks visit the child whose centroid lies toward the ray direction."""
+    m = len(skip)
+    codes = np.zeros(m, np.float32)
+    inner = np.where(~is_leaf)[0]
+    if len(inner):
+        left = inner + 1
+        right = skip[left]
+        lc = (lo[left] + hi[left]) * 0.5
+        rc = (lo[right] + hi[right]) * 0.5
+        diff = rc - lc
+        axis = np.argmax(np.abs(diff), axis=1)
+        flip = diff[np.arange(len(inner)), axis] < 0.0
+        codes[inner] = axis + 4.0 * flip
+    return codes
+
+
+def pack_blobs4(arrs: dict):
+    """Collapse the BVH2 into a BVH4 blob for the 4-wide traversal kernels.
+
+    Each BVH4 node merges a BVH2 inner node with its two children: the four
+    child slots are the grandchildren (pair 0 = left subtree, pair 1 = right),
+    with BVH2-leaf children occupying the pair's first slot and an empty
+    (never-hit box) second slot.  Leaf children reference the SAME slot blob
+    as ``pack_blobs`` (identical slot_base numbering), so the two tree shapes
+    share triangle records.  Returns ``(quad_blob (1, 32·M4) f32, depth4)``
+    or ``(None, 0)`` when the root is a leaf (no tree to collapse).
+    """
+    lo, hi, skip = arrs["lo"], arrs["hi"], arrs["skip"]
+    is_leaf, slots = arrs["is_leaf"], arrs["slots"]
+    m, leaf_size = slots.shape
+    if is_leaf[0]:
+        return None, 0
+
+    leaf_ids = np.where(is_leaf)[0]
+    slot_base = np.full(m, -1, np.int64)
+    slot_base[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int64) * leaf_size
+    codes = _split_codes(lo, hi, skip, is_leaf)
+
+    records = []
+    max_depth = [1]
+
+    import sys
+
+    limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(limit, 8 * m + 1000))
+    try:
+
+        def build(i: int, d: int) -> int:
+            """Emit the BVH4 node for BVH2 inner node ``i``; returns its index."""
+            me = len(records)
+            records.append(None)
+            max_depth[0] = max(max_depth[0], d)
+            l, r = i + 1, int(skip[i + 1])
+            child_slots = []
+            for sub in (l, r):
+                if is_leaf[sub]:
+                    child_slots.extend([(sub, True), None])
+                else:
+                    a, b2 = sub + 1, int(skip[sub + 1])
+                    child_slots.extend([(a, bool(is_leaf[a])),
+                                        (b2, bool(is_leaf[b2]))])
+
+            rec = np.zeros(_NODE4_F, np.float32)
+            for c, s in enumerate(child_slots):
+                if s is None:
+                    # degenerate point box at +3e38: never hit (an *inverted*
+                    # box would NOT work — _slab normalizes min/max per axis)
+                    rec[6 * c : 6 * c + 3] = 3e38
+                    rec[6 * c + 3 : 6 * c + 6] = 3e38
+                    rec[24 + c] = -1.0  # inner→node 0; unreachable (no box hit)
+                else:
+                    nid, lf = s
+                    rec[6 * c : 6 * c + 3] = lo[nid]
+                    rec[6 * c + 3 : 6 * c + 6] = hi[nid]
+                    rec[24 + c] = (
+                        float(slot_base[nid]) if lf else -(1.0 + build(nid, d + 1))
+                    )
+            rec[28] = codes[i]
+            rec[29] = 0.0 if is_leaf[l] else codes[l]
+            rec[30] = 0.0 if is_leaf[r] else codes[r]
+            records[me] = rec
+            return me
+
+        build(0, 1)
+    finally:
+        sys.setrecursionlimit(limit)
+
+    return np.stack(records).astype(np.float32).reshape(1, -1), max_depth[0]
+
+
 def fits_smem_bvh(bvh) -> bool:
     if bvh is None or bvh.tree_blob is None or bvh.slot_blob is None:
         return False
-    return (
-        int(bvh.tree_blob.shape[1]) + int(bvh.slot_blob.shape[1])
-        <= SMEM_BLOB_LIMIT
-    )
+    # budget the blob the dispatch will actually bind as the SMEM operand
+    tree = bvh.quad_blob if _quad_ok(bvh) else bvh.tree_blob
+    return int(tree.shape[1]) + int(bvh.slot_blob.shape[1]) <= SMEM_BLOB_LIMIT
 
 
 def _slab(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, ivx, ivy, ivz, t_min, far):
@@ -491,6 +583,220 @@ def _bvh_any_ordered_kernel(
     found_ref[:] = found
 
 
+# packed dual-count reductions need every per-child count < 2^13
+_PACK_FIELD = 13
+
+
+def _quad_pop_common(tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far):
+    """Shared BVH4 pop front half: 4 child slab tests + TWO packed int32
+    sum-reductions instead of four ``any`` reductions (the vector→scalar
+    reduction is the measured per-step bottleneck; two 13-bit fields per
+    int32 halve it — block counts are ≤ TRAV_ROWS·128 = 4096 < 2^13)."""
+    b = node * _NODE4_F
+    hits = []
+    for c in range(4):
+        o = b + 6 * c
+        hits.append(
+            _slab(
+                tree_ref[0, o], tree_ref[0, o + 1], tree_ref[0, o + 2],
+                tree_ref[0, o + 3], tree_ref[0, o + 4], tree_ref[0, o + 5],
+                ox, oy, oz, ivx, ivy, ivz, t_min, far,
+            )
+        )
+    one = jnp.int32(1)
+    shift = jnp.int32(1 << _PACK_FIELD)
+    s01 = jnp.sum(hits[0].astype(jnp.int32) * one + hits[1].astype(jnp.int32) * shift)
+    s23 = jnp.sum(hits[2].astype(jnp.int32) * one + hits[3].astype(jnp.int32) * shift)
+    mask = jnp.int32((1 << _PACK_FIELD) - 1)
+    anyc = (
+        (s01 & mask) > 0,
+        (s01 >> _PACK_FIELD) > 0,
+        (s23 & mask) > 0,
+        (s23 >> _PACK_FIELD) > 0,
+    )
+    metas = tuple(tree_ref[0, b + 24 + c] for c in range(4))
+    return b, hits, anyc, metas
+
+
+def _quad_push_order(tree_ref, b, metas, anyc, pg_of):
+    """Near-first ordering of the 4 children from the three stored split
+    codes: pair order by the collapsed parent's code, within-pair order by
+    each subtree's code.  Returns the push sequence (farthest first)."""
+    def near_first(k):
+        axis = jnp.remainder(k, 4)
+        flip = (k // 4) > 0
+        return jnp.logical_xor(pg_of(axis), flip)
+
+    k0 = tree_ref[0, b + 28].astype(jnp.int32)
+    k1 = tree_ref[0, b + 29].astype(jnp.int32)
+    k2 = tree_ref[0, b + 30].astype(jnp.int32)
+    p0_near = near_first(k0)      # pair0 (left subtree) is the near pair
+    c0_near = near_first(k1)      # within pair0, child 0 is near
+    c2_near = near_first(k2)      # within pair1, child 2 is near
+
+    def sel(c, a, b2):
+        return jnp.where(c, a, b2)
+
+    m_p0n, a_p0n = sel(c0_near, metas[0], metas[1]), sel(c0_near, anyc[0], anyc[1])
+    m_p0f, a_p0f = sel(c0_near, metas[1], metas[0]), sel(c0_near, anyc[1], anyc[0])
+    m_p1n, a_p1n = sel(c2_near, metas[2], metas[3]), sel(c2_near, anyc[2], anyc[3])
+    m_p1f, a_p1f = sel(c2_near, metas[3], metas[2]), sel(c2_near, anyc[3], anyc[2])
+    # pushed first = visited last: far pair's far child … near pair's near
+    return (
+        (sel(p0_near, m_p1f, m_p0f), sel(p0_near, a_p1f, a_p0f)),
+        (sel(p0_near, m_p1n, m_p0n), sel(p0_near, a_p1n, a_p0n)),
+        (sel(p0_near, m_p0f, m_p1f), sel(p0_near, a_p0f, a_p1f)),
+        (sel(p0_near, m_p0n, m_p1n), sel(p0_near, a_p0n, a_p1n)),
+    )
+
+
+def _bvh4_closest_kernel(
+    m4, leaf_size, t_min, t_max,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    bt_ref, bi_ref, stack_ref,
+):
+    """Front-to-back BVH4 stack walk: one pop slab-tests FOUR child boxes and
+    pays TWO packed reductions, replacing ~3 BVH2 pops (1 reduction each) —
+    the reduction + scalar-control share of the ~270 ns/step BVH2 cost is
+    what this halves.  Same per-lane hit math as the BVH2 kernels."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+
+    pgx = jnp.sum(jnp.where(dx > 0, 1.0, -1.0)) >= 0.0
+    pgy = jnp.sum(jnp.where(dy > 0, 1.0, -1.0)) >= 0.0
+    pgz = jnp.sum(jnp.where(dz > 0, 1.0, -1.0)) >= 0.0
+
+    def pg_of(axis):
+        return jnp.where(axis == 0, pgx, jnp.where(axis == 1, pgy, pgz))
+
+    stack_ref[0] = jnp.int32(0)
+
+    def cond(carry):
+        step, sp, *_ = carry
+        return (sp > 0) & (step < m4 + 2)
+
+    def body(carry):
+        step, sp, best_t, best_i = carry
+        sp = sp - 1
+        node = stack_ref[sp]
+        b, hits, anyc, metas = _quad_pop_common(
+            tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, best_t
+        )
+
+        for c in range(4):
+            def leaf_fn(args, base_f=metas[c], bh=hits[c]):
+                bt, bi = args
+
+                def upd(carry2, win, t, gid):
+                    bt2, bi2 = carry2 if carry2 is not None else (bt, bi)
+                    w = win & bh & (t < bt2)
+                    bt2 = jnp.where(w, t, bt2)
+                    bi2 = jnp.where(w, gid.astype(jnp.int32), bi2)
+                    return bt2, bi2
+
+                return _leaf_tris(
+                    slot_ref, base_f.astype(jnp.int32), leaf_size,
+                    ox, oy, oz, dx, dy, dz, t_min, upd,
+                )
+
+            best_t, best_i = jax.lax.cond(
+                anyc[c] & (metas[c] >= 0.0), leaf_fn, lambda a: a,
+                (best_t, best_i),
+            )
+
+        for meta_k, any_k in _quad_push_order(tree_ref, b, metas, anyc, pg_of):
+            want = any_k & (meta_k < 0.0)
+            child = (-meta_k).astype(jnp.int32) - 1
+
+            @pl.when(want)
+            def _(child=child, sp=sp):
+                stack_ref[sp] = child
+
+            sp = jnp.where(want, sp + 1, sp)
+        return step + 1, sp, best_t, best_i
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(1),
+        jnp.full_like(ox, t_max),
+        jnp.full(ox.shape, -1, jnp.int32),
+    )
+    _s, _sp, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    bt_ref[:] = best_t
+    bi_ref[:] = best_i
+
+
+def _bvh4_any_kernel(
+    m4, leaf_size, t_min,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, found_ref, stack_ref,
+):
+    """BVH4 occlusion walk: packed dual reductions + near-first order so
+    occluded lanes park early and the all-found exit fires sooner."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
+    ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+
+    pgx = jnp.sum(jnp.where(dx > 0, 1.0, -1.0)) >= 0.0
+    pgy = jnp.sum(jnp.where(dy > 0, 1.0, -1.0)) >= 0.0
+    pgz = jnp.sum(jnp.where(dz > 0, 1.0, -1.0)) >= 0.0
+
+    def pg_of(axis):
+        return jnp.where(axis == 0, pgx, jnp.where(axis == 1, pgy, pgz))
+
+    stack_ref[0] = jnp.int32(0)
+
+    def cond(carry):
+        step, sp, found = carry
+        return (step < m4 + 2) & (sp > 0) & (jnp.min(found) < 0.5)
+
+    def body(carry):
+        step, sp, found = carry
+        sp = sp - 1
+        node = stack_ref[sp]
+        far = jnp.where(found > 0.5, jnp.float32(-1.0), limit)
+        b, hits, anyc, metas = _quad_pop_common(
+            tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far
+        )
+
+        for c in range(4):
+            def leaf_fn(fnd, base_f=metas[c], bh=hits[c]):
+                def upd(carry2, win, t, _gid):
+                    f = carry2 if carry2 is not None else fnd
+                    hit_now = win & bh & (t < limit)
+                    return jnp.maximum(f, hit_now.astype(jnp.float32))
+
+                return _leaf_tris(
+                    slot_ref, base_f.astype(jnp.int32), leaf_size,
+                    ox, oy, oz, dx, dy, dz, t_min, upd,
+                )
+
+            found = jax.lax.cond(
+                anyc[c] & (metas[c] >= 0.0), leaf_fn, lambda f: f, found
+            )
+
+        for meta_k, any_k in _quad_push_order(tree_ref, b, metas, anyc, pg_of):
+            want = any_k & (meta_k < 0.0)
+            child = (-meta_k).astype(jnp.int32) - 1
+
+            @pl.when(want)
+            def _(child=child, sp=sp):
+                stack_ref[sp] = child
+
+            sp = jnp.where(want, sp + 1, sp)
+        return step + 1, sp, found
+
+    init = (jnp.int32(0), jnp.int32(1), jnp.zeros(ox.shape, jnp.float32))
+    _s, _sp, found = jax.lax.while_loop(cond, body, init)
+    found_ref[:] = found
+
+
 def _blocks(n):
     rows = n // LANES
     block_rows = min(TRAV_ROWS, rows)
@@ -525,6 +831,10 @@ _MORTON_BITS = 4
 # _bvh_closest_ordered_kernel).  Falls back to the skip-link preorder walk
 # when the tree is deeper than the SMEM stack.
 BVH_ORDERED = True
+# BVH4 walk (two collapsed levels, packed dual-count reductions; see
+# _bvh4_closest_kernel).  Preferred over the BVH2 walks when the quad blob
+# exists and the stack fits; A/B flag for parity tests and measurement.
+BVH_QUAD = True
 
 
 def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
@@ -592,6 +902,17 @@ def _ordered_ok(bvh) -> bool:
     )
 
 
+def _quad_ok(bvh) -> bool:
+    """The BVH4 walk needs the quad blob and stack headroom: each pop removes
+    one entry and pushes up to four, so live depth is ≤ 3·depth4 + 1."""
+    return (
+        BVH_QUAD
+        and getattr(bvh, "quad_blob", None) is not None
+        and getattr(bvh, "quad_depth_token", None) is not None
+        and 3 * int(bvh.quad_depth_token.shape[0]) + 2 <= _STACK_CAP
+    )
+
+
 def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     n = ro.x.shape[0]
     rows, block_rows = _blocks(n)
@@ -604,7 +925,16 @@ def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     def rows2(a):
         return a.reshape(rows, LANES)
 
-    if _ordered_ok(bvh):
+    tree_blob = bvh.tree_blob
+    if _quad_ok(bvh):
+        assert block_rows * LANES < (1 << _PACK_FIELD), "packed counts overflow"
+        m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+        kernel = partial(
+            _bvh4_closest_kernel, m4, leaf_size, float(t_min), float(t_max)
+        )
+        scratch = [pltpu.SMEM((_STACK_CAP,), jnp.int32)]
+        tree_blob = bvh.quad_blob
+    elif _ordered_ok(bvh):
         kernel = partial(
             _bvh_closest_ordered_kernel, m, leaf_size, float(t_min), float(t_max)
         )
@@ -626,7 +956,7 @@ def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
         ],
         scratch_shapes=scratch,
     )(
-        bvh.tree_blob, bvh.slot_blob,
+        tree_blob, bvh.slot_blob,
         rows2(ro.x), rows2(ro.y), rows2(ro.z),
         rows2(rd.x), rows2(rd.y), rows2(rd.z),
     )
@@ -667,7 +997,14 @@ def _bvh_any_unsorted(bvh, ro: V3, rd: V3, t_min: float, limit):
     def rows2(a):
         return a.reshape(rows, LANES)
 
-    if _ordered_ok(bvh):
+    tree_blob = bvh.tree_blob
+    if _quad_ok(bvh):
+        assert block_rows * LANES < (1 << _PACK_FIELD), "packed counts overflow"
+        m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+        kernel = partial(_bvh4_any_kernel, m4, leaf_size, float(t_min))
+        scratch = [pltpu.SMEM((_STACK_CAP,), jnp.int32)]
+        tree_blob = bvh.quad_blob
+    elif _ordered_ok(bvh):
         kernel = partial(_bvh_any_ordered_kernel, m, leaf_size, float(t_min))
         scratch = [pltpu.SMEM((_STACK_CAP,), jnp.int32)]
     else:
@@ -683,7 +1020,7 @@ def _bvh_any_unsorted(bvh, ro: V3, rd: V3, t_min: float, limit):
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         scratch_shapes=scratch,
     )(
-        bvh.tree_blob, bvh.slot_blob,
+        tree_blob, bvh.slot_blob,
         rows2(ro.x), rows2(ro.y), rows2(ro.z),
         rows2(rd.x), rows2(rd.y), rows2(rd.z),
         rows2(limit_v),

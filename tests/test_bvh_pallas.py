@@ -146,6 +146,7 @@ def test_bvh_ordered_matches_skiplink(interpreted_pallas, monkeypatch):
     agree on hit/t everywhere (prim ids may differ only on exact-t ties)."""
     from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
 
+    monkeypatch.setattr(bp, "BVH_QUAD", False)  # pin to the BVH2 kernels
     scene = _soup_scene(64, seed=15)
     cs = compile_scene(scene, use_bvh=True)
     assert cs.bvh.depth_token is not None
@@ -191,3 +192,77 @@ def test_bvh_vs_brute_force_reference(interpreted_pallas):
     # prim ids agree except possibly on exact-t ties (SAH visit order)
     same = np.asarray(hit_k.prim) == np.asarray(hit_b.prim)
     assert same.mean() > 0.99
+
+
+def test_pack_blobs4_layout():
+    """BVH4 collapse invariants: every BVH2 leaf's slot_base appears exactly
+    once across quad child metas, every non-root BVH4 node is referenced by
+    exactly one inner meta, and child boxes match the BVH2 node boxes."""
+    from path_tracing__ray_tracer_tpu.ops import bvh as bvh_mod
+    from path_tracing__ray_tracer_tpu.ops.pallas.bvh_pallas import (
+        _NODE4_F, pack_blobs4)
+
+    rng = np.random.default_rng(3)
+    v0 = rng.uniform(-5, 5, (300, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    arrs = bvh_mod.build_bvh(tri_min, tri_max, use_native=False)
+    quad, depth4 = pack_blobs4(arrs)
+    assert quad is not None and depth4 >= 1
+    recs = quad.reshape(-1, _NODE4_F)
+    m4 = len(recs)
+
+    leaf_size = arrs["slots"].shape[1]
+    n_leaves = int(arrs["is_leaf"].sum())
+    metas = recs[:, 24:28].reshape(-1)
+    boxes = recs[:, :24].reshape(-1, 6)
+    empties = (boxes[:, :3] == 3e38).all(axis=1)
+    leaf_metas = metas[(metas >= 0) & ~empties]
+    # every leaf appears exactly once (slot bases are rank*leaf_size)
+    np.testing.assert_array_equal(
+        np.sort(leaf_metas.astype(int)),
+        np.arange(n_leaves) * leaf_size,
+    )
+    inner_metas = metas[(metas < -0.5) & ~empties]
+    kids = np.sort((-inner_metas).astype(int) - 1)
+    # every BVH4 node except the root is someone's child, exactly once
+    np.testing.assert_array_equal(kids, np.arange(1, m4))
+    # split codes in range
+    assert ((recs[:, 28:31] >= 0) & (recs[:, 28:31] <= 7)).all()
+    # non-empty child boxes are real BVH2 boxes
+    lohi = np.concatenate([arrs["lo"], arrs["hi"]], axis=1)
+    real = boxes[~empties]
+    present = {tuple(r) for r in np.round(lohi.astype(np.float64), 5)}
+    for r in np.round(real.astype(np.float64), 5):
+        assert tuple(r) in present
+
+
+def test_bvh4_matches_bvh2_walk(interpreted_pallas, monkeypatch):
+    """The BVH4 packed-reduction walk must agree with the BVH2 ordered walk
+    on hit/t everywhere (prim ids tie-tolerant, misses exact)."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    scene = _soup_scene(64, seed=21)
+    cs = compile_scene(scene, use_bvh=True)
+    assert bp._quad_ok(cs.bvh)
+    n = 512
+    ro, rd = _rays(n, 22)
+
+    bt4, bi4 = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_QUAD", False)
+    bt2, bi2 = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_allclose(np.asarray(bt4), np.asarray(bt2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bi4) < 0, np.asarray(bi2) < 0)
+    assert (np.asarray(bi4) == np.asarray(bi2)).mean() > 0.99
+
+    # occlusion is an existence test: BVH4 == BVH2 exactly
+    monkeypatch.setattr(bp, "BVH_QUAD", True)
+    lim = np.full(n, 14.0, np.float32)
+    occ4 = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    monkeypatch.setattr(bp, "BVH_QUAD", False)
+    occ2 = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    np.testing.assert_array_equal(occ4, occ2)
