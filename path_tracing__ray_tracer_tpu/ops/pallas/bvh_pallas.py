@@ -835,12 +835,97 @@ BVH_ORDERED = True
 # _bvh4_closest_kernel).  Preferred over the BVH2 walks when the quad blob
 # exists and the stack fits; A/B flag for parity tests and measurement.
 BVH_QUAD = True
+# primary-subtree-major sort key (see _subtree_key); A/B flag
+BVH_SUBKEY = True
+
+
+def _slab_key(lo3, hi3, ro: V3, rd: V3) -> jnp.ndarray:
+    """Vectorized slab test of one (traced-scalar) box against all rays —
+    the key-computation counterpart of the kernel's ``_slab``."""
+    big = jnp.float32(1e6)
+    enter = jnp.full_like(ro.x, 1e-3)
+    exit_ = jnp.full_like(ro.x, big)
+    for lo_c, hi_c, o, d in ((lo3[0], hi3[0], ro.x, rd.x),
+                             (lo3[1], hi3[1], ro.y, rd.y),
+                             (lo3[2], hi3[2], ro.z, rd.z)):
+        iv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+        a = (lo_c - o) * iv
+        b = (hi_c - o) * iv
+        enter = jnp.maximum(enter, jnp.minimum(a, b))
+        exit_ = jnp.minimum(exit_, jnp.maximum(a, b))
+    return enter <= exit_
+
+
+def _first_child(rec, ro: V3, rd: V3):
+    """Per-ray first child (in the ray's near-first visit order, mirroring
+    ``_quad_push_order``) of one BVH4 node whose box the ray enters.
+    ``rec`` is a (32,)-slice of the quad blob (traced scalars).  Returns
+    ``(chosen 0..3 int32, none bool)``."""
+    hits = [
+        _slab_key(rec[6 * c : 6 * c + 3], rec[6 * c + 3 : 6 * c + 6], ro, rd)
+        for c in range(4)
+    ]
+
+    def nf(k_f):
+        k = k_f.astype(jnp.int32)
+        axis = jnp.remainder(k, 4)
+        flip = (k // 4) > 0
+        pos = jnp.where(
+            axis == 0, rd.x > 0, jnp.where(axis == 1, rd.y > 0, rd.z > 0)
+        )
+        return jnp.logical_xor(pos, flip)
+
+    p0n, c0n, c2n = nf(rec[28]), nf(rec[29]), nf(rec[30])
+    one = jnp.int32(1)
+    two = jnp.int32(2)
+    pair0 = jnp.where(p0n, 0, two)  # visit rank of pair (0,1)
+    pair1 = jnp.where(p0n, two, 0)
+    ranks = (
+        pair0 + jnp.where(c0n, 0, one),
+        pair0 + jnp.where(c0n, one, 0),
+        pair1 + jnp.where(c2n, 0, one),
+        pair1 + jnp.where(c2n, one, 0),
+    )
+    # first entered = min visit rank among hit children (miss → rank 4+c)
+    best_rank = jnp.full_like(ranks[0], 8)
+    chosen = jnp.zeros_like(ranks[0])
+    for c in range(4):
+        r = jnp.where(hits[c], ranks[c], 8)
+        take = r < best_rank
+        best_rank = jnp.where(take, r, best_rank)
+        chosen = jnp.where(take, jnp.int32(c), chosen)
+    return chosen, best_rank >= 8
+
+
+def _subtree_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
+    """Primary-subtree id (0..16) — which depth-2 BVH4 subtree the ray
+    enters FIRST in its own near-first order.  Used as the major sort key:
+    rays that will immediately descend into the same subtree share a block,
+    so the block-``any`` culling prunes the other subtrees.  Simulated on
+    the 11.5K-tri mesh (experiments/sim_traversal.py): pops 257→145 and
+    leaf visits 356→225 per incoherent 4096-ray block vs the plain
+    octant+morton key."""
+    qb = bvh.quad_blob
+    root = [qb[0, k] for k in range(_NODE4_F)]
+    c0, none0 = _first_child(root, ro, rd)
+    sub = jnp.zeros_like(c0)
+    for c in range(4):
+        meta = qb[0, 24 + c]
+        j = jnp.maximum((-meta).astype(jnp.int32) - 1, 0)
+        rec_d = jax.lax.dynamic_slice(qb, (jnp.int32(0), j * _NODE4_F),
+                                      (1, _NODE4_F))
+        rec = [rec_d[0, k] for k in range(_NODE4_F)]
+        c1, _none1 = _first_child(rec, ro, rd)
+        c1 = jnp.where(meta >= 0.0, 0, c1)  # leaf child: no second level
+        sub = jnp.where(c0 == c, jnp.int32(4 * c) + c1, sub)
+    return jnp.where(none0, jnp.int32(16), sub)
 
 
 def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
-    """Octant-major traversal-coherence key: 3 direction-sign bits (major),
-    then a ``_MORTON_BITS``-per-axis morton code of the origin inside the
-    root box."""
+    """Traversal-coherence key: primary depth-2 subtree (major, BVH4 path
+    only — see ``_subtree_key``), then 3 direction-sign bits, then a
+    ``_MORTON_BITS``-per-axis morton code of the origin inside the root
+    box."""
     B = _MORTON_BITS
     lo = bvh.tree_blob[0, 0:3]
     hi = bvh.tree_blob[0, 3:6]
@@ -865,7 +950,10 @@ def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
         | ((rd.y > 0).astype(jnp.int32) << 1)
         | (rd.z > 0).astype(jnp.int32)
     )
-    return (octant << (3 * B)) | morton
+    key = (octant << (3 * B)) | morton
+    if BVH_SUBKEY and _quad_ok(bvh):
+        key = key | (_subtree_key(bvh, ro, rd) << (3 + 3 * B))
+    return key
 
 
 def _sort_enabled(n: int) -> bool:
