@@ -108,6 +108,23 @@ def main() -> int:
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Absorb the process-level first-execution cost (executable/artifact
+    # shipping on the tunneled backend, 100-500 s regardless of workload —
+    # CLAUDE.md) with one tiny render, reported as its own line so no
+    # config's warmup_seconds carries it.  Measured round 3: raw tunnel
+    # bandwidth is ~50 MB/s (experiments/measure_overlap.py), so the
+    # round-2 attribution of config 1's 178.9 s warmup to atlas bytes was
+    # wrong — it was this process cost.
+    import path_tracing__ray_tracer_tpu as ptrt
+
+    t0 = time.time()
+    builder = ptrt.CustomSceneBuilder()
+    warm = ptrt.RendererFactory.create("tpu_raytracer")
+    warm.render(builder.build_scene(), builder.create_camera(1.0),
+                ptrt.RenderSettings(128, 128, 1, 2))
+    print(json.dumps({"process_warmup_seconds": round(time.time() - t0, 2)}),
+          flush=True)
+
     for idx in (int(c) for c in args.configs.split(",")):
         result = run_config(idx, args.scale)
         print(json.dumps(result), flush=True)

@@ -111,6 +111,13 @@ class CompiledScene(NamedTuple):
     tex_width: jnp.ndarray
     tex_height: jnp.ndarray
     bvh: object = None  # Optional[ops.bvh.FlatBVH] over triangles (big scenes)
+    # optional low-resolution mip of the atlas (``mip_budget`` compile arg):
+    # sampled by secondary bounces in the path tracer's deferred-texture mode
+    # (models/path_tracer.py) via the MXU one-hot gather.  None = not built.
+    mip_atlas: jnp.ndarray = None  # (Mpix,) int32 packed texels
+    mip_offset: jnp.ndarray = None  # (T,) int32
+    mip_width: jnp.ndarray = None
+    mip_height: jnp.ndarray = None
 
     @property
     def n_planes(self) -> int:
@@ -257,6 +264,7 @@ def compile_scene(
     gpu_parity: bool = True,
     with_textures: bool = True,
     texture_budget: int = 0,
+    mip_budget: int = 0,
     merge_quads: bool = True,
     use_bvh: bool = None,
 ) -> CompiledScene:
@@ -398,6 +406,12 @@ def compile_scene(
 
     # ---- texture atlas ---------------------------------------------------------
     atlas, offs, ws, hs = _build_atlas(texture_paths, texture_budget)
+    # optional mip: a second, much smaller atlas for secondary-bounce lookups
+    # (deferred-texture mode).  ``mip_budget`` caps each texture's max
+    # dimension the same way ``texture_budget`` does.
+    mip = (None,) * 4
+    if mip_budget:
+        mip = _build_atlas(texture_paths, mip_budget)
 
     # ---- acceleration structure -------------------------------------------------
     # Brute-force sweeps beat tree walks below a few hundred primitives
@@ -436,6 +450,10 @@ def compile_scene(
         tex_offset=offs,
         tex_width=ws,
         tex_height=hs,
+        mip_atlas=mip[0],
+        mip_offset=mip[1],
+        mip_width=mip[2],
+        mip_height=mip[3],
     )
 
 

@@ -36,6 +36,7 @@ from ..ops import rng
 from ..ops.camera import generate_rays
 from ..ops.intersect import gather_material, scene_hit, scene_hit_any
 from ..ops.sampling import cosine_hemisphere, pick_light
+from ..ops.pallas.texture_pallas import texel_index
 from ..ops.texture import resolve_base_color
 from ..ops.tonemap import aces
 from ..ops.v3 import V3, refract
@@ -303,6 +304,27 @@ def _make_bounce_and_resolve(cs, width_hint: int, shadow_tmax: str = "reference"
     return bounce_fn, resolve_fn
 
 
+def _make_mip_resolve(cs):
+    """Secondary-bounce base-color resolver from the small mip atlas
+    (deferred-texture mode), or None when the scene has no mip."""
+    from ..ops.pallas.texture_pallas import (
+        fits_mip,
+        pack_mip_table,
+        resolve_base_color_mip,
+    )
+
+    if cs.mip_atlas is None or not fits_mip(cs):
+        return None
+    table = pack_mip_table(cs)
+
+    def resolve(out):
+        return resolve_base_color_mip(
+            cs, table, out.mat_color, out.tex_id, out.u, out.v
+        )
+
+    return resolve
+
+
 def _regen_chunk(
     cs,
     cam12,
@@ -349,6 +371,27 @@ def _regen_chunk(
     RNG keys are pure functions of (seed, pixel, sample), so every radiance
     sample is identical to the per-sample loop's — only lane scheduling
     changes.
+
+    **Deferred-texture mode** (active when the scene carries a mip atlas,
+    ``compile_scene(mip_budget=...)``): the exact atlas gather — a flat
+    ~7 ns/lane on this backend, ~83% of a Cornell bounce — runs once per
+    *item* instead of once per *bounce*.  A path's radiance is linear in its
+    camera-bounce base color (each bounce's base enters its own NEE term and
+    the throughput as an exponent-0/1 factor), so the loop accumulates
+    ``A + base₀·B`` per item with base₀ symbolic: the camera bounce records
+    its exact texel index (vector math, no gather), bounces ≥ 1 sample the
+    small mip via the MXU one-hot kernel, and ONE bulk gather per chunk
+    resolves every item's base₀ at the fold.  RR/cutoff decisions use the
+    mip-estimated throughput, so with ``mip_budget == texture_budget`` the
+    mode reproduces the exact path bit-for-bit up to FMA reassociation
+    (tested); with a real (smaller) mip only secondary-bounce texture detail
+    is approximated — the camera-visible texture stays exact.
+
+    Measured outcome (round 3, BENCHMARKS.md "Deferred-texture mode"): a
+    NET LOSS on this backend — the HLO gather is flat ~7 ns/lane even for a
+    128-entry mip, and the defer bookkeeping costs more per chunk than the
+    per-bounce gather it removes.  Kept as a correct, tested, gated-off
+    capability; do not enable it for throughput.
     """
     NS = int(n_samples)
     N = int(n_pix)
@@ -356,6 +399,8 @@ def _regen_chunk(
     total = width * height
     iter_cap = NS * max_depth + 2  # loop provably terminates; belt-and-braces
     bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N, shadow_tmax)
+    mip_resolve = _make_mip_resolve(cs)
+    defer = mip_resolve is not None
 
     def make_ray(lane_ids, s):
         """Camera ray + RNG key for lane ``lane_ids``'s item ``s`` — exactly
@@ -378,21 +423,47 @@ def _regen_chunk(
 
     def bounce_step(lane_ids, st):
         """One bounce for every lane; finished lanes regenerate in place.
-        Returns the new ray state plus this iteration's (contribution, item)
-        for the caller's accumulator."""
-        o, d, thr, key, depth, s = st
+        Returns the new ray state plus this iteration's contributions and
+        item ids for the caller's accumulator.  In deferred mode ``thr`` is
+        the base₀-free throughput, ``e`` says whether base₀ is pending in it,
+        and ``b0m`` is the mip estimate of base₀ (RR/cutoff decisions use
+        ``thr·b0m^e`` so they match the exact path when mip == atlas)."""
+        if defer:
+            o, d, thr, key, depth, s, e, b0m = st
+        else:
+            o, d, thr, key, depth, s = st
+            e = b0m = None
         m = o.x.shape
         active = s < NS
-        out = bounce_fn(o, d, thr, key, depth)
-        base = resolve_fn(out)
-        contrib = thr * out.w_sky + thr * (base * out.w_nee)
-        contrib = V3.where(active, contrib, V3.full(0.0, m))
+        thr_dec = V3.where(e, thr * b0m, thr) if defer else thr
+        out = bounce_fn(o, d, thr_dec, key, depth)
+        zero = V3.full(0.0, m)
+        if defer:
+            base = mip_resolve(out)
+            defer_now = (depth == 0) & (out.tex_id >= 0.0)
+            idx0 = texel_index(cs, out.tex_id, out.u, out.v)
+            full = thr * out.w_sky + thr * (base * out.w_nee)
+            cA = V3.where(defer_now, thr * out.w_sky, V3.where(e, zero, full))
+            cB = V3.where(defer_now, thr * out.w_nee, V3.where(e, full, zero))
+            cA = V3.where(active, cA, zero)
+            cB = V3.where(active, cB, zero)
+            base_thr = V3.where(defer_now, V3.full(1.0, m), base)
+            e2 = jnp.where(defer_now, out.t_thr > 0.0, e)
+            b0m2 = V3.where(defer_now, base, b0m)
+        else:
+            base = resolve_fn(out)
+            cA = thr * out.w_sky + thr * (base * out.w_nee)
+            cA = V3.where(active, cA, zero)
+            cB = idx0 = defer_now = None
+            base_thr = base
+            e2 = b0m2 = None
         live = active & out.hit & ~out.killed
         thr_new = thr * out.rr_scale * (
-            base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
+            base_thr * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
         )
         thr = V3.where(live, thr_new, thr)
-        live = live & (thr.max_component() >= 0.001)
+        thr_cut = V3.where(e2, thr * b0m2, thr) if defer else thr
+        live = live & (thr_cut.max_component() >= 0.001)
         ndepth = depth + 1
         live = live & (ndepth < max_depth)
 
@@ -405,7 +476,13 @@ def _regen_chunk(
         thr = V3.where(regen, V3.full(1.0, m), thr)
         key = jnp.where(regen, key_new, key)
         depth = jnp.where(live, ndepth, jnp.int32(0))
-        return (o, d, thr, key, depth, s2), contrib, s
+        if defer:
+            e2 = jnp.where(regen, False, e2)
+            b0m2 = V3.where(regen, V3.full(1.0, m), b0m2)
+            st2 = (o, d, thr, key, depth, s2, e2, b0m2)
+        else:
+            st2 = (o, d, thr, key, depth, s2)
+        return st2, cA, cB, idx0, defer_now, s
 
     lane = jnp.arange(N, dtype=jnp.int32)
     o0, d0, key0 = make_ray(lane, jnp.zeros((N,), jnp.int32))
@@ -413,7 +490,14 @@ def _regen_chunk(
         o0, d0, V3.full(1.0, (N,)), key0,
         jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32),
     )
-    acc0 = tuple(jnp.zeros((NS, N), jnp.float32) for _ in range(3))
+    if defer:
+        state0 = state0 + (jnp.zeros((N,), bool), V3.full(1.0, (N,)))
+    acc0 = tuple(jnp.zeros((NS, N), jnp.float32) for _ in range(6 if defer else 3))
+    if defer:
+        acc0 = acc0 + (jnp.zeros((NS, N), jnp.int32),)  # exact base₀ texel ids
+
+    def chans(cA, cB):
+        return (cA.x, cA.y, cA.z) + ((cB.x, cB.y, cB.z) if defer else ())
 
     # ---- phase 1: full width, one-hot accumulation into (NS, N) ------------
     tail = min(-(-max(1024, N // 64) // 1024) * 1024, N)
@@ -425,17 +509,20 @@ def _regen_chunk(
 
     def body1(carry):
         st, acc, it = carry
-        st, contrib, item = bounce_step(lane, st)
+        st, cA, cB, idx0, dmask, item = bounce_step(lane, st)
         hit_row = item_rows == item[None, :]
-        acc = tuple(
+        new = tuple(
             a + jnp.where(hit_row, c[None, :], 0.0)
-            for a, c in zip(acc, (contrib.x, contrib.y, contrib.z))
+            for a, c in zip(acc, chans(cA, cB))
         )
-        return st, acc, it + 1
+        if defer:
+            new = new + (
+                acc[-1] + jnp.where(hit_row & dmask[None, :], idx0[None, :], 0),
+            )
+        return st, new, it + 1
 
-    (o, d, thr, key, depth, s), acc, _it = jax.lax.while_loop(
-        cond1, body1, (state0, acc0, jnp.int32(0))
-    )
+    st1, acc, _it = jax.lax.while_loop(cond1, body1, (state0, acc0, jnp.int32(0)))
+    o, d, thr, key, depth, s = st1[:6]
 
     # ---- phase 2: compact the ≤ tail stragglers, finish at low width --------
     unfinished = s < NS
@@ -449,6 +536,8 @@ def _regen_chunk(
         o.take(sel), d.take(sel), thr.take(sel), key[sel], depth[sel],
         jnp.where(valid, s[sel], NS),
     )
+    if defer:
+        st_t = st_t + (st1[6][sel], st1[7].take(sel))
 
     def cond2(carry):
         st, _acc, it = carry
@@ -456,26 +545,46 @@ def _regen_chunk(
 
     def body2(carry):
         st, acc, it = carry
-        st, contrib, item = bounce_step(sel, st)
+        st, cA, cB, idx0, dmask, item = bounce_step(sel, st)
         # contributions scatter straight into the phase-1 accumulator rows,
         # preserving per-item (sample, depth) addition order exactly
         item_safe = jnp.where(valid, item, NS)  # out of range → dropped
-        acc = tuple(
+        new = tuple(
             a.at[item_safe, sel].add(jnp.where(valid, c, 0.0), mode="drop")
-            for a, c in zip(acc, (contrib.x, contrib.y, contrib.z))
+            for a, c in zip(acc, chans(cA, cB))
         )
-        return st, acc, it + 1
+        if defer:
+            new = new + (
+                acc[-1].at[item_safe, sel].add(
+                    jnp.where(valid & dmask, idx0, 0), mode="drop"
+                ),
+            )
+        return st, new, it + 1
 
     _st, acc, _it2 = jax.lax.while_loop(cond2, body2, (st_t, acc, jnp.int32(0)))
 
+    # ---- resolve deferred base₀ (ONE bulk gather per chunk) -----------------
+    if defer:
+        idxs = jnp.clip(acc[-1].reshape(-1), 0, int(cs.atlas.shape[0]) - 1)
+        texel = cs.atlas[idxs].reshape(NS, N)
+        inv255 = jnp.float32(1.0 / 255.0)
+        b0 = (
+            (texel & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
+        )
+        rows = tuple(acc[c] + b0[c] * acc[3 + c] for c in range(3))
+    else:
+        rows = acc[:3]
+
     # ---- re-bin items to pixels: inverse of the shift permutation ----------
-    out = V3(acc[0][0], acc[1][0], acc[2][0])
+    out = V3(rows[0][0], rows[1][0], rows[2][0])
     for si in range(1, NS):
         shift = (si * STRIDE) % N
         out = out + V3(
-            jnp.roll(acc[0][si], shift),
-            jnp.roll(acc[1][si], shift),
-            jnp.roll(acc[2][si], shift),
+            jnp.roll(rows[0][si], shift),
+            jnp.roll(rows[1][si], shift),
+            jnp.roll(rows[2][si], shift),
         )
     return out
 
@@ -531,13 +640,22 @@ class TPUPathTracer(WavefrontRenderer):
     """Parity renderer for ``cuda_path_raytracer`` — the flagship model."""
 
     def __init__(self, sample_group: int = 32, jitter: str = "independent",
-                 shadow_tmax: str = "reference", **kw):
+                 shadow_tmax: str = "reference", mip_budget: int = 0, **kw):
         # independent x/y jitter by default: strictly better sampling, and the
         # reference hero image is a missing blob so there is no RMSE target
         # (BASELINE.md); pass jitter="diagonal" for the quirk-exact stream.
         # shadow_tmax="light" bounds NEE occlusion at the sampled light
         # (physically correct, cheaper for BVH scenes) instead of the
         # reference's 1e6 quirk.
+        # mip_budget > 0 enables deferred-texture mode (_regen_chunk doc):
+        # camera-bounce textures stay exact, bounces >= 1 sample a
+        # mip_budget-capped mip — the exact atlas gather then runs once per
+        # path instead of once per bounce.  Measured SLOWER than the exact
+        # path on this backend (BENCHMARKS.md); off by default.
+        if mip_budget:
+            co = dict(kw.pop("compile_overrides", None) or {})
+            co.setdefault("mip_budget", int(mip_budget))
+            kw["compile_overrides"] = co
         super().__init__("tpu_path_raytracer", jitter=jitter, **kw)
         self.sample_group = int(sample_group)
         self.shadow_tmax = str(shadow_tmax)

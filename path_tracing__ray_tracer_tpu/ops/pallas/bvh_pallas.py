@@ -837,6 +837,12 @@ BVH_ORDERED = True
 BVH_QUAD = True
 # primary-subtree-major sort key (see _subtree_key); A/B flag
 BVH_SUBKEY = True
+# subtree-key depth: 1 = root's 4 children (4 slab tests, no dynamic
+# slices), 2 = 16 grandchildren (20 slab tests + 4 dynamic slices).  The
+# sim says depth 2 saves only ~10% more walk (145 vs 155 pops/block) while
+# its key costs ~4x more to compute; measured on v5e the cheaper key nets
+# more (experiments/measure_bvh8.py).
+BVH_SUBKEY_DEPTH = 1
 
 
 def _slab_key(lo3, hi3, ro: V3, rd: V3) -> jnp.ndarray:
@@ -908,6 +914,8 @@ def _subtree_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
     qb = bvh.quad_blob
     root = [qb[0, k] for k in range(_NODE4_F)]
     c0, none0 = _first_child(root, ro, rd)
+    if BVH_SUBKEY_DEPTH < 2:
+        return jnp.where(none0, jnp.int32(4), c0)
     sub = jnp.zeros_like(c0)
     for c in range(4):
         meta = qb[0, 24 + c]

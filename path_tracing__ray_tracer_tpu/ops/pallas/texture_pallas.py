@@ -124,3 +124,126 @@ def resolve_base_color_mxu(cs: CompiledScene, tables, mat_color: V3,
     idx = texel_index(cs, tex_id_f, u, v)
     rgb = mxu_gather_rgb(tables, idx)
     return V3.where(tex_id_f >= 0.0, rgb, mat_color)
+
+
+# ---- mip gather (deferred-texture mode) -------------------------------------
+#
+# The path tracer's deferred-texture mode (models/path_tracer.py) samples
+# secondary bounces from the small ``mip_budget`` atlas.  At mip scale the
+# one-hot matmul wins back from the HLO gather (which is a flat ~7 ns/lane
+# regardless of table size — measured round 2); VMEM stays tiny, so each
+# block does three channel dots + mask-reduces.
+#
+# Exactness note (round-3 bug, fixed): a first cut packed R+256·G+65536·B
+# into ONE f32 table value so each block needed a single dot — but the MXU
+# rounds its *inputs* to bf16 (8-bit mantissa), so 24-bit packed integers
+# were truncated (0x36DF89 → 0x36C000: R destroyed, G corrupted).  Per-
+# channel 0–255 tables are bf16-exact, same as ``mxu_gather_rgb`` above.
+
+# measured on v5e (experiments/measure_tex4.py, 131072 lanes): block 2048 is
+# the sweet spot; 1024 pays per-block overhead, 4096 stalls on VMEM pressure
+MIP_BLOCK = 2048
+MIP_MAX_ROWS = 512  # (R, 128) bf16 ×3 channels ≤ 384 KB VMEM
+MIP_FORCE_KERNEL = False  # tests: exercise the kernel under interpret mode
+MIP_DISABLE_KERNEL = False  # A/B: fall back to the HLO gather on the mip
+
+
+def mip_rows(cs: CompiledScene) -> int:
+    return -(-int(cs.mip_atlas.shape[0]) // 128)
+
+
+def fits_mip(cs: CompiledScene) -> bool:
+    return cs.mip_atlas is not None and mip_rows(cs) <= MIP_MAX_ROWS
+
+
+def pack_mip_table(cs: CompiledScene):
+    """Three (R, 128) bf16 channel planes of the mip atlas (0–255 integers
+    are bf16-exact, so the MXU path reproduces the HLO gather bit-for-bit)."""
+    n = int(cs.mip_atlas.shape[0])
+    rows = mip_rows(cs)
+    packed = jnp.pad(cs.mip_atlas, (0, rows * 128 - n))
+
+    def chan(shift):
+        return ((packed >> shift) & 0xFF).astype(jnp.bfloat16).reshape(rows, 128)
+
+    return chan(0), chan(8), chan(16)
+
+
+def _mip_kernel(n_rows: int, block: int, r_ref, g_ref, b_ref, idx_ref,
+                or_ref, og_ref, ob_ref):
+    idx = idx_ref[:]
+    trow = idx // 128
+    tlane = idx % 128
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (block, n_rows), 1) == trow
+          ).astype(jnp.bfloat16)
+    lane_oh = (jax.lax.broadcasted_iota(jnp.int32, (block, 128), 1) == tlane
+               ).astype(jnp.float32)
+    for table, out in ((r_ref, or_ref), (g_ref, og_ref), (b_ref, ob_ref)):
+        row_vals = jnp.dot(oh, table[:], preferred_element_type=jnp.float32)
+        out[:] = jnp.sum(row_vals * lane_oh, axis=1, keepdims=True)
+
+
+def mip_gather_rgb(cs: CompiledScene, tables, texel_idx: jnp.ndarray) -> V3:
+    """RGB in [0,1] for flat mip texel indices; MXU one-hot kernel on TPU,
+    plain XLA gather elsewhere (identical values — exact integer math)."""
+    r_tbl, g_tbl, b_tbl = tables
+    n_rows = int(r_tbl.shape[0])
+    n = texel_idx.shape[0]
+    idx = jnp.clip(texel_idx, 0, n_rows * 128 - 1)
+    inv = jnp.float32(1.0 / 255.0)
+
+    use_kernel = MIP_FORCE_KERNEL
+    try:
+        use_kernel = use_kernel or (
+            jax.default_backend() == "tpu" and n % 1024 == 0
+        )
+    except Exception:  # pragma: no cover
+        pass
+    if MIP_DISABLE_KERNEL:
+        use_kernel = False
+    if not use_kernel:
+        texel = cs.mip_atlas[jnp.clip(idx, 0, int(cs.mip_atlas.shape[0]) - 1)]
+        return V3(
+            (texel & 0xFF).astype(jnp.float32) * inv,
+            ((texel >> 8) & 0xFF).astype(jnp.float32) * inv,
+            ((texel >> 16) & 0xFF).astype(jnp.float32) * inv,
+        )
+
+    block = MIP_BLOCK
+    while n % block:
+        block //= 2
+    spec_tbl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    spec_ray = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n, 1), jnp.float32)
+    r, g, b = pl.pallas_call(
+        partial(_mip_kernel, n_rows, block),
+        grid=(n // block,),
+        in_specs=[spec_tbl, spec_tbl, spec_tbl, spec_ray],
+        out_specs=[spec_ray] * 3,
+        out_shape=[shape] * 3,
+    )(r_tbl, g_tbl, b_tbl, idx.reshape(n, 1))
+    return V3(r.reshape(n) * inv, g.reshape(n) * inv, b.reshape(n) * inv)
+
+
+def mip_texel_index(cs: CompiledScene, tex_id_f: jnp.ndarray, u, v) -> jnp.ndarray:
+    """Flat texel index into the MIP atlas (same nearest/V-flip mapping as
+    ``ops.texture.sample_atlas``, over the mip tables)."""
+    textured = tex_id_f >= 0.0
+    tid = jnp.clip(
+        jnp.where(textured, tex_id_f, 0.0).astype(jnp.int32), 0, cs.n_textures - 1
+    )
+    w = cs.mip_width[tid]
+    h = cs.mip_height[tid]
+    off = cs.mip_offset[tid]
+    uu = jnp.clip(u, 0.0, 1.0)
+    vv = jnp.clip(v, 0.0, 1.0)
+    iu = jnp.clip((uu * (w - 1).astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    iv = jnp.clip(((1.0 - vv) * (h - 1).astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    return off + iv * w + iu
+
+
+def resolve_base_color_mip(cs: CompiledScene, tables, mat_color: V3,
+                           tex_id_f: jnp.ndarray, u, v) -> V3:
+    idx = mip_texel_index(cs, tex_id_f, u, v)
+    rgb = mip_gather_rgb(cs, tables, idx)
+    return V3.where(tex_id_f >= 0.0, rgb, mat_color)
