@@ -37,7 +37,7 @@ from ..ops.camera import generate_rays
 from ..ops.intersect import gather_material, scene_hit, scene_hit_any
 from ..ops.sampling import cosine_hemisphere, pick_light
 from ..ops.pallas.texture_pallas import texel_index
-from ..ops.texture import resolve_base_color
+from ..ops.texture import resolve_base_color, resolve_base_color_lod
 from ..ops.tonemap import aces
 from ..ops.v3 import V3, refract
 from .base import RendererFactory
@@ -339,6 +339,7 @@ def _regen_chunk(
     max_depth: int,
     jitter: str,
     shadow_tmax: str = "reference",
+    lod_depth: int = 0,
 ):
     """Radiance sums via *ray regeneration*: one persistent pool of ``n_pix``
     lanes where a lane that finishes a path (miss / RR kill / throughput
@@ -399,7 +400,11 @@ def _regen_chunk(
     total = width * height
     iter_cap = NS * max_depth + 2  # loop provably terminates; belt-and-braces
     bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N, shadow_tmax)
-    mip_resolve = _make_mip_resolve(cs)
+    # texture-LOD mode (``texture_lod``): bounces at depth >= lod_depth
+    # sample the small mip atlas instead of the full-res one — see
+    # resolve_base_color_lod.  Takes precedence over deferred-texture mode.
+    lod = lod_depth > 0 and cs.mip_atlas is not None
+    mip_resolve = None if lod else _make_mip_resolve(cs)
     defer = mip_resolve is not None
 
     def make_ray(lane_ids, s):
@@ -451,7 +456,13 @@ def _regen_chunk(
             e2 = jnp.where(defer_now, out.t_thr > 0.0, e)
             b0m2 = V3.where(defer_now, base, b0m)
         else:
-            base = resolve_fn(out)
+            if lod:
+                base = resolve_base_color_lod(
+                    cs, out.mat_color, out.tex_id, out.u, out.v,
+                    depth < lod_depth,
+                )
+            else:
+                base = resolve_fn(out)
             cA = thr * out.w_sky + thr * (base * out.w_nee)
             cA = V3.where(active, cA, zero)
             cB = idx0 = defer_now = None
@@ -592,7 +603,7 @@ def _regen_chunk(
 @partial(
     jax.jit,
     static_argnames=("n_pix", "width", "height", "n_samples", "max_depth",
-                     "jitter", "shadow_tmax"),
+                     "jitter", "shadow_tmax", "lod_depth"),
 )
 def _path_chunk(
     cs,
@@ -608,6 +619,7 @@ def _path_chunk(
     max_depth: int,
     jitter: str,
     shadow_tmax: str = "reference",
+    lod_depth: int = 0,
 ):
     """Radiance sums over ``n_samples`` independent samples for one pixel chunk.
 
@@ -633,6 +645,7 @@ def _path_chunk(
         max_depth=max_depth,
         jitter=jitter,
         shadow_tmax=shadow_tmax,
+        lod_depth=lod_depth,
     )
 
 
@@ -640,7 +653,8 @@ class TPUPathTracer(WavefrontRenderer):
     """Parity renderer for ``cuda_path_raytracer`` — the flagship model."""
 
     def __init__(self, sample_group: int = 32, jitter: str = "independent",
-                 shadow_tmax: str = "reference", mip_budget: int = 0, **kw):
+                 shadow_tmax: str = "reference", mip_budget: int = 0,
+                 texture_lod: int = 0, texture_lod_depth: int = 2, **kw):
         # independent x/y jitter by default: strictly better sampling, and the
         # reference hero image is a missing blob so there is no RMSE target
         # (BASELINE.md); pass jitter="diagonal" for the quirk-exact stream.
@@ -652,13 +666,22 @@ class TPUPathTracer(WavefrontRenderer):
         # mip_budget-capped mip — the exact atlas gather then runs once per
         # path instead of once per bounce.  Measured SLOWER than the exact
         # path on this backend (BENCHMARKS.md); off by default.
-        if mip_budget:
+        # texture_lod > 0 enables texture-LOD mode: camera rays and bounces
+        # below ``texture_lod_depth`` keep the reference-exact full-res
+        # gather, deeper bounces sample a texture_lod-capped mip — the
+        # HBM-miss-bound share of the big-atlas gather drops to the shallow
+        # (screen-coherent) lanes.  RMSE vs the exact path is recorded in
+        # BENCHMARKS.md ("Texture LOD"); texture_budget stays untouched.
+        assert not (mip_budget and texture_lod), \
+            "deferred-texture and texture-LOD modes are mutually exclusive"
+        if mip_budget or texture_lod:
             co = dict(kw.pop("compile_overrides", None) or {})
-            co.setdefault("mip_budget", int(mip_budget))
+            co.setdefault("mip_budget", int(mip_budget or texture_lod))
             kw["compile_overrides"] = co
         super().__init__("tpu_path_raytracer", jitter=jitter, **kw)
         self.sample_group = int(sample_group)
         self.shadow_tmax = str(shadow_tmax)
+        self.lod_depth = int(texture_lod_depth) if texture_lod else 0
 
     def get_capabilities(self) -> List[str]:
         return [
@@ -692,6 +715,7 @@ class TPUPathTracer(WavefrontRenderer):
             max_depth=max_depth,
             jitter=jitter,
             shadow_tmax=self.shadow_tmax,
+            lod_depth=self.lod_depth,
         )
 
     def render_sums(self, scene, camera, settings, sample_offset=0, n_samples=None):
@@ -705,9 +729,8 @@ class TPUPathTracer(WavefrontRenderer):
             scene, camera, settings, sample_offset=sample_offset, n_samples=spp
         )
 
-    def _finalize(self, sums: np.ndarray, spp_total: int, settings) -> np.ndarray:
-        mean = jnp.asarray(sums) / float(spp_total)
-        return np.asarray(aces(mean))
+    def _finalize_dev(self, sums, spp_total: int, settings):
+        return aces(jnp.asarray(sums) / float(spp_total))
 
 
 RendererFactory.register("tpu_path_raytracer", TPUPathTracer)

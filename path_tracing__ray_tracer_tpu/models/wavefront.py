@@ -135,9 +135,15 @@ class WavefrontRenderer(BaseRenderer):
         radiance sums for this group's samples."""
         raise NotImplementedError
 
-    def _finalize(self, sums: np.ndarray, spp_total: int, settings: RenderSettings) -> np.ndarray:
-        """Radiance sums → display-ready [0,1] float image (pre-quantization)."""
+    def _finalize_dev(self, sums, spp_total: int, settings: RenderSettings):
+        """Radiance sums → display-ready [0,1] float image (pre-quantization).
+        Pure jnp math — runs on device, traceable inside the fused one-shot
+        dispatch (``_render_fused_u8``)."""
         raise NotImplementedError
+
+    def _finalize(self, sums: np.ndarray, spp_total: int, settings: RenderSettings) -> np.ndarray:
+        """Host-array wrapper over ``_finalize_dev``."""
+        return np.asarray(self._finalize_dev(jnp.asarray(sums), spp_total, settings))
 
     # -- chunk-plan construction (single device or mesh) ----------------------
     def _plan(self, w: int, h: int, spp: int, max_depth: int):
@@ -261,6 +267,90 @@ class WavefrontRenderer(BaseRenderer):
                     print(f"{self.progress_label}: {rows_done}/{h} rows")
         return sums
 
+    def _render_fused_u8(self, scene, camera, settings):
+        """One-dispatch render: chunk ``lax.map`` + finalize + quantize fused
+        into a single executable, transferring only the uint8 image.
+
+        For small renders the separate sums transfer (f32, 4× the bytes) and
+        the finalize/quantize round trips cost more than the compute —
+        measured config 2: 157 ms of render_sums vs 410 ms end-to-end
+        (BENCHMARKS.md).  Returns the (H*W, 3) uint8 host array, or None when
+        the render doesn't fit one dispatch (the caller then uses the
+        pipelined multi-dispatch path, which is not floor-bound).  Bit-exact
+        vs the unfused path: same chunk sums, same finalize/quantize ops,
+        only the host bounces removed."""
+        if self.mesh is not None or not self.gpu_parity:
+            return None
+        w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+        cs = self.compiled(scene)
+        chunk_fn, n_pix, group = self._plan(w, h, spp, settings.max_depth)
+        pix0_list = list(range(0, w * h, n_pix))
+        batch_k = self._dispatch_batch(
+            cs, n_pix, spp, settings.max_depth, len(pix0_list)
+        )
+        if len(pix0_list) > 1 and batch_k < len(pix0_list):
+            return None
+        log_event(
+            "render_start",
+            renderer=self.name,
+            width=w,
+            height=h,
+            spp=spp,
+            max_depth=settings.max_depth,
+            chunk_pixels=n_pix,
+            sample_group=group,
+            chunks=len(pix0_list),
+            fused="u8",
+        )
+        n_groups = -(-spp // group)
+        with self._device_scope():
+            cam12 = pack_camera(camera)
+            fn = self._fused_u8_fn(
+                chunk_fn, len(pix0_list), n_groups, group, w, h, spp, settings
+            )
+            out = fn(
+                cs,
+                cam12,
+                jnp.asarray(pix0_list, jnp.int32),
+                jnp.uint32(self.seed),
+                jnp.int32(0),
+            )
+            arr = np.asarray(out)  # single host sync + u8 transfer
+        if self.progress_label and len(pix0_list) > 1:
+            print(f"{self.progress_label}: {h}/{h} rows")
+        return arr
+
+    def _fused_u8_fn(self, chunk_fn: Callable, k: int, n_groups: int,
+                     group: int, w: int, h: int, spp: int, settings):
+        """Jitted ``(cs, cam12, pix0s, seed, s0_base) -> (H*W, 3) uint8`` —
+        the ``_batched_fn`` chunk loop with the display pipeline appended."""
+        key = (id(chunk_fn), k, n_groups, group, w, h, spp, "u8")
+        if key not in self._jit_cache:
+            total = w * h
+
+            def run(cs, cam12, pix0s, seed, s0_base):
+                def one(pix0):
+                    acc = chunk_fn(cs, cam12, pix0, seed, s0_base)
+
+                    def body(i, a):
+                        return jax.tree.map(
+                            jnp.add, a,
+                            chunk_fn(cs, cam12, pix0, seed, s0_base + i * group),
+                        )
+
+                    if n_groups > 1:
+                        acc = jax.lax.fori_loop(1, n_groups, body, acc)
+                    return acc
+
+                sums = jax.lax.map(one, pix0s)  # V3 of (k, n_pix)
+                flat = sums.to_array().reshape(-1, 3)[:total]
+                img = self._finalize_dev(flat, spp, settings)
+                rgb = quantize_u8(V3.from_array(img))
+                return rgb.to_array()
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
     def _dispatch_batch(
         self, cs, n_pix: int, n_samples: int, max_depth: int, n_chunks: int
     ) -> int:
@@ -313,9 +403,11 @@ class WavefrontRenderer(BaseRenderer):
 
     def render(self, scene: Scene, camera: Camera, settings: RenderSettings):
         with Timer() as t:
-            img = self.render_array(scene, camera, settings)
-            rgb = quantize_u8(V3.from_array(jnp.asarray(img)))
-            arr = np.asarray(rgb.to_array())
+            arr = self._render_fused_u8(scene, camera, settings)
+            if arr is None:
+                img = self.render_array(scene, camera, settings)
+                rgb = quantize_u8(V3.from_array(jnp.asarray(img)))
+                arr = np.asarray(rgb.to_array())
         self.frame_count += 1
         log_event(
             "render_done",

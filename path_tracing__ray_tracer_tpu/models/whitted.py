@@ -350,10 +350,10 @@ class _WhittedBase(WavefrontRenderer):
             ),
         )
 
-    def _finalize(self, sums: np.ndarray, spp_total: int, settings) -> np.ndarray:
+    def _finalize_dev(self, sums, spp_total: int, settings):
         # faithful quirk: divide by the *requested* spp even though only
         # ⌊√spp⌋² samples were summed (cuda_renderer.py:39,64-66)
-        return sums / float(spp_total)
+        return jnp.asarray(sums) / float(spp_total)
 
 
 class TPURayTracer(_WhittedBase):

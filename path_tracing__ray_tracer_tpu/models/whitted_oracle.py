@@ -361,10 +361,10 @@ class CPUParityRayTracer(WavefrontRenderer):
             n_samples=self._samples_per_group(settings.samples_per_pixel),
         )
 
-    def _finalize(self, sums: np.ndarray, spp_total: int, settings) -> np.ndarray:
+    def _finalize_dev(self, sums, spp_total: int, settings):
         # same ⌊√spp⌋²-sum / requested-spp division as the reference
         # (cpu_renderer.py:40,58)
-        return sums / float(spp_total)
+        return jnp.asarray(sums) / float(spp_total)
 
 
 RendererFactory.register("cpu_raytracer", CPUParityRayTracer)

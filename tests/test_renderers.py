@@ -116,6 +116,29 @@ def test_chunking_invariance(cornell):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_fused_render_matches_unfused(cornell):
+    """``render()``'s fused one-dispatch u8 path must equal the unfused
+    render_array+quantize pipeline exactly, including multi-chunk +
+    multi-group shapes."""
+    from path_tracing__ray_tracer_tpu.ops.tonemap import quantize_u8
+    from path_tracing__ray_tracer_tpu.ops.v3 import V3
+    import jax.numpy as jnp
+
+    scene, cam = cornell
+    s = ptrt.RenderSettings(width=40, height=30, samples_per_pixel=4, max_depth=2)
+    for name in ("tpu_path_raytracer", "tpu_texture_raytracer"):
+        # chunk_rays 1<<12 → several pixel chunks; sample_group splits spp
+        kw = dict(seed=5, chunk_rays=1 << 12)
+        if name == "tpu_path_raytracer":
+            kw["sample_group"] = 2
+        r = ptrt.RendererFactory.create(name, **kw)
+        fused = r._render_fused_u8(scene, cam, s)
+        assert fused is not None, "small render should take the fused path"
+        img = r.render_array(scene, cam, s)
+        ref = np.asarray(quantize_u8(V3.from_array(jnp.asarray(img))).to_array())
+        np.testing.assert_array_equal(fused, ref)
+
+
 def test_progressive_matches_oneshot(cornell, tmp_path):
     from path_tracing__ray_tracer_tpu.parallel.progressive import render_progressive
 
