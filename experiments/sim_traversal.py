@@ -317,12 +317,123 @@ def run_treelet(quad, slots, o, d, key, depth):
     return tot_p, tot_l, n_blocks, best_t
 
 
+def child_rank(quad, d, node_rec):
+    """(n, 4) per-ray visit rank of one BVH4 node's children (mirrors
+    _quad_push_order near-first logic; vectorized over rays)."""
+    def nf(k):
+        axis, flip = int(k) % 4, (int(k) // 4) > 0
+        return (d[:, axis] > 0) != flip
+
+    p0n, c0n, c2n = nf(node_rec[28]), nf(node_rec[29]), nf(node_rec[30])
+    pair0 = np.where(p0n, 0, 2)
+    pair1 = np.where(p0n, 2, 0)
+    return np.stack([
+        pair0 + np.where(c0n, 0, 1),
+        pair0 + np.where(c0n, 1, 0),
+        pair1 + np.where(c2n, 0, 1),
+        pair1 + np.where(c2n, 1, 0),
+    ], axis=1)
+
+
+def run_multipass(quad, slots, o, d, key, n_passes):
+    """The buildable TPU scheme: P sorted passes, each walking ONE depth-1
+    subtree per block (block root = first lane's choice; straddle lanes
+    masked), best_t carried, then a cleanup pass from the global root for
+    lanes with any entered-but-unvisited subtree left.  Exact by
+    construction (cleanup bounds by best_t).  Returns pops, leafs, blocks,
+    best_t."""
+    n = o.shape[0]
+    iv = 1.0 / np.where(np.abs(d) > 1e-12, d, 1e-12)
+    best_t = np.full(n, T_MAX, np.float32)
+    best_i = np.full(n, -1.0, np.float32)
+    tot_p = tot_l = n_blocks = 0
+
+    root_rec = quad[0]
+    ranks = child_rank(quad, d, root_rec)  # (n, 4)
+    cut_root = [None] * 4
+    for c in range(4):
+        meta = root_rec[24 + c]
+        if meta >= 0.0:  # shallow leaf: prologue visit for all rays
+            bh = slab(root_rec[6 * c:6 * c + 3], root_rec[6 * c + 3:6 * c + 6],
+                      o, iv, best_t)
+            if bh.any():
+                tot_l += (n + BLOCK - 1) // BLOCK
+                best_t, best_i = leaf_visit(slots, int(meta), o, d, bh,
+                                            best_t, best_i)
+        else:
+            cut_root[c] = int(-meta) - 1
+
+    visited = np.zeros((n, 4), bool)
+    for c in range(4):
+        if cut_root[c] is None:
+            visited[:, c] = True
+
+    def next_subtree():
+        """Per-ray min-rank eligible (entered & unvisited) child, else 4."""
+        nxt = np.full(n, 4, np.int64)
+        best_rank = np.full(n, 8, np.int64)
+        for c in range(4):
+            if cut_root[c] is None:
+                continue
+            bh = slab(root_rec[6 * c:6 * c + 3], root_rec[6 * c + 3:6 * c + 6],
+                      o, iv, best_t)
+            elig = bh & ~visited[:, c]
+            r = np.where(elig, ranks[:, c], 8)
+            take = r < best_rank
+            best_rank = np.where(take, r, best_rank)
+            nxt = np.where(take, c, nxt)
+        return nxt
+
+    for _p in range(n_passes):
+        nxt = next_subtree()
+        if (nxt >= 4).all():
+            break
+        sidx = np.argsort((nxt << 40) | key, kind="stable")
+        for b0 in range(0, n, BLOCK):
+            part = sidx[b0:b0 + BLOCK]
+            block_c = int(nxt[part[0]])
+            if block_c >= 4:
+                continue  # fully inactive block (sorted tail)
+            walked = nxt[part] == block_c
+            bt_in = np.where(walked, best_t[part], -1.0).astype(np.float32)
+            p, l, bt, bi = walk_block(
+                quad, slots, o[part], d[part], root=cut_root[block_c],
+                best_t=bt_in, best_i=best_i[part].copy())
+            tot_p += p
+            tot_l += l
+            n_blocks += 1
+            best_t[part] = np.where(walked, bt, best_t[part])
+            best_i[part] = np.where(walked, bi, best_i[part])
+            visited[part, block_c] |= walked
+
+    # cleanup: anything entered-but-unvisited walks from the global root
+    nxt = next_subtree()
+    active = nxt < 4
+    if active.any():
+        sidx = np.argsort((~active).astype(np.int64) << 40 | key, kind="stable")
+        for b0 in range(0, n, BLOCK):
+            part = sidx[b0:b0 + BLOCK]
+            act = active[part]
+            if not act.any():
+                continue
+            bt_in = np.where(act, best_t[part], -1.0).astype(np.float32)
+            p, l, bt, bi = walk_block(quad, slots, o[part], d[part], root=0,
+                                      best_t=bt_in, best_i=best_i[part].copy())
+            tot_p += p
+            tot_l += l
+            n_blocks += 1
+            best_t[part] = np.where(act, bt, best_t[part])
+            best_i[part] = np.where(act, bi, best_i[part])
+    return tot_p, tot_l, n_blocks, best_t
+
+
 def main():
     global LEAF_SIZE
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=32768)
     ap.add_argument("--leaf-size", type=int, default=16)
     ap.add_argument("--keys-only", action="store_true")
+    ap.add_argument("--multipass-only", action="store_true")
     args = ap.parse_args()
     LEAF_SIZE = args.leaf_size
 
@@ -332,6 +443,20 @@ def main():
     o, d = rays(args.rays, "incoherent")
     nb = args.rays // BLOCK
     print(f"rays={args.rays} blocks={nb} quad_nodes={quad.shape[0]}")
+
+    if args.multipass_only:
+        key = make_key("oct_m4", o, d, root_lo, root_hi)
+        sub = primary_subtree(quad, o, d, 1)
+        skey = (sub << 15) | key
+        p0, l0, ref_bt = run_variant(quad, slots, o, d, skey)
+        print(f"sub1_oct_m4   : pops={p0:6d} leafs={l0:6d} "
+              f"per-block p={p0/nb:7.1f} l={l0/nb:6.1f}", flush=True)
+        for npass in (1, 2, 3):
+            p, l, k, bt = run_multipass(quad, slots, o, d, key, npass)
+            ok = np.allclose(bt, ref_bt, rtol=1e-5, atol=1e-5)
+            print(f"multipass P={npass}: pops={p:6d} leafs={l:6d} "
+                  f"blocks={k} (vs {nb}/pass) match={ok}", flush=True)
+        return
 
     ref_bt = None
     schemes = ("oct_m4",) if args.keys_only else (

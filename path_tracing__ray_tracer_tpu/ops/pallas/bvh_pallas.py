@@ -39,9 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..v3 import V3
 
 LANES = 128
-# rays per traversal block: wider blocks amortize the per-step vector→scalar
-# ``any`` reduction over more rays (the step cost is reduction-dominated)
-TRAV_ROWS = 32
+# rays per traversal block.  Wider blocks amortize the per-step
+# vector→scalar reduction over more rays, but lose coherence: a step is
+# skipped only when NO lane hits the node, so the marginal lane adds visits
+# faster than it shares cost.  Round-3 sweep under BVH4 + subtree key
+# (experiments/measure_bvh9.py, incoherent mesh rays): rows 8/16/32 =
+# 29.4/27.6/22.8 Mrays/s closest, 27.1/23.8/16.9 any — 8 rows (1024 lanes,
+# the native f32 tile height) wins decisively; 64 overflows the packed
+# dual-count fields (8192 ≥ 2^13).
+TRAV_ROWS = 8
 # stack pops per while-loop iteration in the ordered closest walk.  Measured
 # flat (12.9/12.7/13.2 Mrays/s incoherent at 1/2/4, ls=16): Mosaic does not
 # overlap one pop's any-reduction with the next pop's slab math, so the
@@ -650,17 +656,13 @@ def _quad_push_order(tree_ref, b, metas, anyc, pg_of):
     )
 
 
-def _bvh4_closest_kernel(
-    m4, leaf_size, t_min, t_max,
-    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    bt_ref, bi_ref, stack_ref,
-):
-    """Front-to-back BVH4 stack walk: one pop slab-tests FOUR child boxes and
-    pays TWO packed reductions, replacing ~3 BVH2 pops (1 reduction each) —
-    the reduction + scalar-control share of the ~270 ns/step BVH2 cost is
-    what this halves.  Same per-lane hit math as the BVH2 kernels."""
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+               start_node, ox, oy, oz, dx, dy, dz, bt0, bi0):
+    """Shared front-to-back BVH4 stack walk from ``start_node`` with a
+    carried (best_t, best_i): one pop slab-tests FOUR child boxes and pays
+    TWO packed reductions, replacing ~3 BVH2 pops (1 reduction each) — the
+    reduction + scalar-control share of the ~270 ns/step BVH2 cost is what
+    this halves.  Same per-lane hit math as the BVH2 kernels."""
     ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
     ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
     ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
@@ -672,7 +674,7 @@ def _bvh4_closest_kernel(
     def pg_of(axis):
         return jnp.where(axis == 0, pgx, jnp.where(axis == 1, pgy, pgz))
 
-    stack_ref[0] = jnp.int32(0)
+    stack_ref[0] = start_node
 
     def cond(carry):
         step, sp, *_ = carry
@@ -718,15 +720,49 @@ def _bvh4_closest_kernel(
             sp = jnp.where(want, sp + 1, sp)
         return step + 1, sp, best_t, best_i
 
-    init = (
-        jnp.int32(0),
-        jnp.int32(1),
-        jnp.full_like(ox, t_max),
-        jnp.full(ox.shape, -1, jnp.int32),
-    )
+    init = (jnp.int32(0), jnp.int32(1), bt0, bi0)
     _s, _sp, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    return best_t, best_i
+
+
+def _bvh4_closest_kernel(
+    m4, leaf_size, t_min, t_max,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    bt_ref, bi_ref, stack_ref,
+):
+    """Whole-tree BVH4 closest-hit walk (see ``_bvh4_walk``)."""
+    ox = ox_ref[:]
+    best_t, best_i = _bvh4_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref, jnp.int32(0),
+        ox, oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
+        jnp.full_like(ox, t_max), jnp.full(ox.shape, -1, jnp.int32),
+    )
     bt_ref[:] = best_t
     bi_ref[:] = best_i
+
+
+def _bvh4_closest_rooted_kernel(
+    m4, leaf_size, t_min,
+    tree_ref, slot_ref, root_ref, ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref, en_ref, bt0_ref, bi0_ref,
+    bt_ref, bi_ref, stack_ref,
+):
+    """One multipass traversal pass: walk ONLY the subtree rooted at this
+    block's ``root_ref[program_id]`` with carried (best_t, best_i).  Lanes
+    with ``en == 0`` (their wanted subtree differs from the block root) walk
+    with ``best_t = -1`` so every box/leaf test fails, and their carried
+    state passes through untouched."""
+    ox = ox_ref[:]
+    en = en_ref[:] > 0.5
+    bt0, bi0 = bt0_ref[:], bi0_ref[:]
+    best_t, best_i = _bvh4_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+        root_ref[pl.program_id(0)],
+        ox, oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
+        jnp.where(en, bt0, jnp.float32(-1.0)), bi0,
+    )
+    bt_ref[:] = jnp.where(en, best_t, bt0)
+    bi_ref[:] = jnp.where(en, best_i, bi0)
 
 
 def _bvh4_any_kernel(
@@ -843,14 +879,30 @@ BVH_SUBKEY = True
 # its key costs ~4x more to compute; measured on v5e the cheaper key nets
 # more (experiments/measure_bvh8.py).
 BVH_SUBKEY_DEPTH = 1
+# multipass closest-hit traversal: ONE upfront sort by (first-subtree,
+# second-subtree, octant|morton), then pass k walks only each block's
+# majority depth-2 subtree with best_t carried, then a cleanup walk from the
+# global root makes the result exact regardless of the predictions.  The
+# walk-simulation (experiments/sim_mp2.py, 11.5K-tri mesh, incoherent rays,
+# 1024-lane blocks): pops 2572 → 2010 and leaf visits 3327 → 3001 vs the
+# single-sort subtree key, for one extra sort operand and two extra kernel
+# launches.  Measured on v5e (experiments/measure_mp.py): the pop savings
+# mostly cancel against the key/sort/launch overhead — kernel +5% (31.0 vs
+# 29.6 Mrays/s incoherent closest), config-5 end-to-end flat (19.04 vs
+# 19.16).  Default OFF: +5% does not buy three Mosaic compiles per shape on
+# this tunnel.  Exactness is by construction (cleanup bounds by best_t) and
+# tested against the single-pass walk.
+BVH_MULTIPASS = False
+_MP_MIN_DEPTH4 = 4  # shallow quad trees: subtree split cannot pay
 
 
-def _slab_key(lo3, hi3, ro: V3, rd: V3) -> jnp.ndarray:
+def _slab_key(lo3, hi3, ro: V3, rd: V3, far=None) -> jnp.ndarray:
     """Vectorized slab test of one (traced-scalar) box against all rays —
-    the key-computation counterpart of the kernel's ``_slab``."""
-    big = jnp.float32(1e6)
+    the key-computation counterpart of the kernel's ``_slab``.  ``far`` is
+    an optional per-ray upper bound (multipass passes best_t)."""
     enter = jnp.full_like(ro.x, 1e-3)
-    exit_ = jnp.full_like(ro.x, big)
+    exit_ = (jnp.full_like(ro.x, 1e6) if far is None
+             else jnp.asarray(far, jnp.float32))
     for lo_c, hi_c, o, d in ((lo3[0], hi3[0], ro.x, rd.x),
                              (lo3[1], hi3[1], ro.y, rd.y),
                              (lo3[2], hi3[2], ro.z, rd.z)):
@@ -862,16 +914,10 @@ def _slab_key(lo3, hi3, ro: V3, rd: V3) -> jnp.ndarray:
     return enter <= exit_
 
 
-def _first_child(rec, ro: V3, rd: V3):
-    """Per-ray first child (in the ray's near-first visit order, mirroring
-    ``_quad_push_order``) of one BVH4 node whose box the ray enters.
-    ``rec`` is a (32,)-slice of the quad blob (traced scalars).  Returns
-    ``(chosen 0..3 int32, none bool)``."""
-    hits = [
-        _slab_key(rec[6 * c : 6 * c + 3], rec[6 * c + 3 : 6 * c + 6], ro, rd)
-        for c in range(4)
-    ]
-
+def _child_ranks(rec, rd: V3):
+    """Per-ray visit rank (0..3) of each child of one BVH4 node, in the
+    ray's own near-first order (mirrors ``_quad_push_order``).  ``rec`` is a
+    (32,)-slice of the quad blob (traced scalars)."""
     def nf(k_f):
         k = k_f.astype(jnp.int32)
         axis = jnp.remainder(k, 4)
@@ -886,12 +932,24 @@ def _first_child(rec, ro: V3, rd: V3):
     two = jnp.int32(2)
     pair0 = jnp.where(p0n, 0, two)  # visit rank of pair (0,1)
     pair1 = jnp.where(p0n, two, 0)
-    ranks = (
+    return (
         pair0 + jnp.where(c0n, 0, one),
         pair0 + jnp.where(c0n, one, 0),
         pair1 + jnp.where(c2n, 0, one),
         pair1 + jnp.where(c2n, one, 0),
     )
+
+
+def _first_child(rec, ro: V3, rd: V3):
+    """Per-ray first child (in the ray's near-first visit order, mirroring
+    ``_quad_push_order``) of one BVH4 node whose box the ray enters.
+    ``rec`` is a (32,)-slice of the quad blob (traced scalars).  Returns
+    ``(chosen 0..3 int32, none bool)``."""
+    hits = [
+        _slab_key(rec[6 * c : 6 * c + 3], rec[6 * c + 3 : 6 * c + 6], ro, rd)
+        for c in range(4)
+    ]
+    ranks = _child_ranks(rec, rd)
     # first entered = min visit rank among hit children (miss → rank 4+c)
     best_rank = jnp.full_like(ranks[0], 8)
     chosen = jnp.zeros_like(ranks[0])
@@ -929,11 +987,80 @@ def _subtree_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
     return jnp.where(none0, jnp.int32(16), sub)
 
 
-def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
-    """Traversal-coherence key: primary depth-2 subtree (major, BVH4 path
-    only — see ``_subtree_key``), then 3 direction-sign bits, then a
-    ``_MORTON_BITS``-per-axis morton code of the origin inside the root
-    box."""
+def _subtree_nodes(qb):
+    """Traced ``((16,) int32 node ids, (16,) bool valid)`` of the depth-2
+    BVH4 subtrees (root's grandchildren) in ``c0*4 + c1`` order.  Invalid
+    where the slot is empty or the depth-1/2 child is a leaf (those lanes
+    are handled entirely by the cleanup pass)."""
+    ids, valid = [], []
+    for c0 in range(4):
+        meta0 = qb[0, 24 + c0]
+        j = jnp.maximum((-meta0).astype(jnp.int32) - 1, 0)
+        rec = jax.lax.dynamic_slice(qb, (jnp.int32(0), j * _NODE4_F),
+                                    (1, _NODE4_F))
+        inner0 = (meta0 < 0.0) & (j >= 1)
+        for c1 in range(4):
+            meta1 = rec[0, 24 + c1]
+            node1 = (-meta1).astype(jnp.int32) - 1
+            ids.append(jnp.maximum(node1, 0))
+            valid.append(inner0 & (meta1 < 0.0) & (node1 >= 1))
+    return jnp.stack(ids), jnp.stack(valid)
+
+
+def _subtree_keys2(bvh, ro: V3, rd: V3):
+    """Per-ray (first, second) depth-2 subtree ids (0..15, 16 = none) in the
+    ray's own near-first visit order — the two major sort keys of the
+    multipass traversal.  Purely a scheduling heuristic: a wrong prediction
+    only shifts work into the cleanup pass, never changes results."""
+    qb = bvh.quad_blob
+    root = [qb[0, k] for k in range(_NODE4_F)]
+    hits0 = [
+        _slab_key(root[6 * c : 6 * c + 3], root[6 * c + 3 : 6 * c + 6], ro, rd)
+        for c in range(4)
+    ]
+    ranks0 = _child_ranks(root, rd)
+
+    big = jnp.int32(99)
+    rank16 = []
+    for c0 in range(4):
+        meta0 = root[24 + c0]
+        j = jnp.maximum((-meta0).astype(jnp.int32) - 1, 0)
+        rec_d = jax.lax.dynamic_slice(qb, (jnp.int32(0), j * _NODE4_F),
+                                      (1, _NODE4_F))
+        rec = [rec_d[0, k] for k in range(_NODE4_F)]
+        inner0 = meta0 < 0.0  # traced scalar; broadcasts over lanes
+        hits1 = [
+            _slab_key(rec[6 * c : 6 * c + 3], rec[6 * c + 3 : 6 * c + 6], ro, rd)
+            for c in range(4)
+        ]
+        ranks1 = _child_ranks(rec, rd)
+        for c1 in range(4):
+            # leaf child c0: one unit at (c0, 0), box = the child's own box
+            hit = jnp.where(inner0, hits0[c0] & hits1[c1],
+                            hits0[c0] & (c1 == 0))
+            rank = ranks0[c0] * 4 + jnp.where(inner0, ranks1[c1], 0)
+            rank16.append(jnp.where(hit, rank, big))
+
+    def argmin16(ranks, exclude=None):
+        best = jnp.full_like(ranks[0], 99)
+        arg = jnp.full_like(ranks[0], 16)
+        for k in range(16):
+            r = ranks[k] if exclude is None else jnp.where(
+                exclude == k, big, ranks[k])
+            take = r < best
+            best = jnp.where(take, r, best)
+            arg = jnp.where(take, jnp.int32(k), arg)
+        return arg
+
+    s1 = argmin16(rank16)
+    s2 = argmin16(rank16, exclude=s1)
+    return s1, s2
+
+
+def _base_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
+    """(direction octant << 3B) | origin-morton coherence key — the
+    subtree-independent part of ``_sort_key``, also the minor key of every
+    multipass sort."""
     B = _MORTON_BITS
     lo = bvh.tree_blob[0, 0:3]
     hi = bvh.tree_blob[0, 3:6]
@@ -958,14 +1085,101 @@ def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
         | ((rd.y > 0).astype(jnp.int32) << 1)
         | (rd.z > 0).astype(jnp.int32)
     )
-    key = (octant << (3 * B)) | morton
+    return (octant << (3 * B)) | morton
+
+
+def _sort_key(bvh, ro: V3, rd: V3) -> jnp.ndarray:
+    """Traversal-coherence key: primary depth-2 subtree (major, BVH4 path
+    only — see ``_subtree_key``), then 3 direction-sign bits, then a
+    ``_MORTON_BITS``-per-axis morton code of the origin inside the root
+    box."""
+    key = _base_key(bvh, ro, rd)
     if BVH_SUBKEY and _quad_ok(bvh):
-        key = key | (_subtree_key(bvh, ro, rd) << (3 + 3 * B))
+        key = key | (_subtree_key(bvh, ro, rd) << (3 + 3 * _MORTON_BITS))
     return key
 
 
 def _sort_enabled(n: int) -> bool:
     return BVH_SORT and (n // LANES) >= _SORT_MIN_ROWS
+
+
+def _mp_ok(bvh, n: int) -> bool:
+    return (
+        BVH_MULTIPASS
+        and BVH_SORT
+        and _quad_ok(bvh)
+        and (n // LANES) >= _SORT_MIN_ROWS
+        and int(bvh.quad_depth_token.shape[0]) >= _MP_MIN_DEPTH4
+    )
+
+
+def _bvh_closest_rooted(bvh, roots, ro: V3, rd: V3, en, bt0, bi0, t_min: float):
+    """One multipass pass (or the cleanup pass): per-block subtree roots +
+    carried best state through ``_bvh4_closest_rooted_kernel``."""
+    n = ro.x.shape[0]
+    rows, block_rows = _blocks(n)
+    m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+    leaf_size = int(bvh.slots.shape[1])
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    speci = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def rows2(a):
+        return a.reshape(rows, LANES)
+
+    bt, bi = pl.pallas_call(
+        partial(_bvh4_closest_rooted_kernel, m4, leaf_size, float(t_min)),
+        grid=(rows // block_rows,),
+        in_specs=[smem, smem, smem] + [spec] * 7 + [spec, speci],
+        out_specs=[spec, speci],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+    )(
+        bvh.quad_blob, bvh.slot_blob, roots,
+        rows2(ro.x), rows2(ro.y), rows2(ro.z),
+        rows2(rd.x), rows2(rd.y), rows2(rd.z),
+        rows2(en.astype(jnp.float32)), rows2(bt0), rows2(bi0),
+    )
+    return bt.reshape(n), bi.reshape(n)
+
+
+def _bvh_closest_multipass(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
+    """Multipass sorted closest-hit (see ``BVH_MULTIPASS``)."""
+    n = ro.x.shape[0]
+    s1, s2 = _subtree_keys2(bvh, ro, rd)
+    base = _base_key(bvh, ro, rd)
+    B = 3 + 3 * _MORTON_BITS
+    key = (s1 << (B + 5)) | (s2 << B) | base
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _k, ss1, ss2, sx, sy, sz, sdx, sdy, sdz, sidx = jax.lax.sort(
+        [key, s1, s2, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, iota],
+        num_keys=1, is_stable=True,
+    )
+    sro, srd = V3(sx, sy, sz), V3(sdx, sdy, sdz)
+    rows, block_rows = _blocks(n)
+    nblk = rows // block_rows
+    bs = block_rows * LANES
+    table, valid = _subtree_nodes(bvh.quad_blob)
+
+    bt = jnp.full((n,), t_max, jnp.float32)
+    bi = jnp.full((n,), -1, jnp.int32)
+    for svec in (ss1, ss2):
+        s_first = svec.reshape(nblk, bs)[:, 0]
+        sc = jnp.clip(s_first, 0, 15)
+        rootv = valid[sc] & (s_first < 16)
+        roots = jnp.where(rootv, table[sc], 0)
+        en = (svec == jnp.repeat(s_first, bs)) & jnp.repeat(rootv, bs)
+        bt, bi = _bvh_closest_rooted(bvh, roots, sro, srd, en, bt, bi, t_min)
+    # cleanup from the global root: exact regardless of the predictions
+    bt, bi = _bvh_closest_rooted(
+        bvh, jnp.zeros((nblk,), jnp.int32), sro, srd,
+        jnp.ones((n,), bool), bt, bi, t_min,
+    )
+    _i, bt, bi = jax.lax.sort([sidx, bt, bi], num_keys=1, is_stable=True)
+    return bt, bi
 
 
 def bvh_closest_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
@@ -974,6 +1188,8 @@ def bvh_closest_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     Rays are coherence-sorted first (see ``_sort_key``); bit-exact either way.
     """
     n = ro.x.shape[0]
+    if _mp_ok(bvh, n):
+        return _bvh_closest_multipass(bvh, ro, rd, t_min, t_max)
     if _sort_enabled(n):
         iota = jnp.arange(n, dtype=jnp.int32)
         _k, sx, sy, sz, sdx, sdy, sdz, sidx = jax.lax.sort(

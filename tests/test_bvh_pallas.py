@@ -125,6 +125,7 @@ def test_bvh_sorted_matches_unsorted(interpreted_pallas, monkeypatch):
     ro, rd = _rays(n, 14)
     monkeypatch.setattr(bp, "TRAV_ROWS", 8)  # several blocks at n=4096
     monkeypatch.setattr(bp, "_SORT_MIN_ROWS", 2)
+    monkeypatch.setattr(bp, "BVH_MULTIPASS", False)  # single-pass property
 
     assert bp._sort_enabled(n)
     bt_s, bi_s = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
@@ -237,6 +238,33 @@ def test_pack_blobs4_layout():
     present = {tuple(r) for r in np.round(lohi.astype(np.float64), 5)}
     for r in np.round(real.astype(np.float64), 5):
         assert tuple(r) in present
+
+
+def test_bvh_multipass_matches_single_pass(interpreted_pallas, monkeypatch):
+    """The multipass closest-hit walk (subtree passes + cleanup) must agree
+    with the single-pass walk on hit/t everywhere — the cleanup pass makes it
+    exact no matter what the subtree predictions chose (prim ids
+    tie-tolerant, same as the other order-sensitive comparisons)."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    scene = _soup_scene(96, seed=31)
+    cs = compile_scene(scene, use_bvh=True)
+    n = 2048
+    ro, rd = _rays(n, 32)
+    monkeypatch.setattr(bp, "TRAV_ROWS", 8)
+    monkeypatch.setattr(bp, "_SORT_MIN_ROWS", 2)
+    monkeypatch.setattr(bp, "_MP_MIN_DEPTH4", 1)
+    monkeypatch.setattr(bp, "BVH_MULTIPASS", True)
+
+    assert bp._mp_ok(cs.bvh, n)
+    bt_m, bi_m = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_MULTIPASS", False)
+    bt_s, bi_s = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_allclose(np.asarray(bt_m), np.asarray(bt_s),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bi_m) < 0, np.asarray(bi_s) < 0)
+    assert (np.asarray(bi_m) == np.asarray(bi_s)).mean() > 0.99
 
 
 def test_bvh4_matches_bvh2_walk(interpreted_pallas, monkeypatch):
