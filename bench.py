@@ -24,10 +24,13 @@ DEPTH = 8
 # per 131072-pixel chunk (2.1x better per sample)
 GROUP_SPP = 64
 BATCHES = 2
-# downsampled atlas (box filter, max-dim cap): random-gather throughput on
-# TPU scales with table size, and at 1024² these textures are minified far
-# below this budget anyway; 0 would use the reference-exact full resolution
-TEXTURE_BUDGET = 256
+# 0 = the reference-exact full-resolution atlas.  Round 3 re-based the
+# headline onto this honest config after measuring that the round-2
+# budget-256 knob is NOT visually lossless (RMSE 6.15/255 vs budget 0 —
+# BENCHMARKS.md "headline honesty correction").  The knob remains available
+# (256 measures ~218 vs ~190 Mrays/s here) but the reported number is the
+# reference-exact one.
+TEXTURE_BUDGET = 0
 
 
 def main() -> int:
