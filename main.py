@@ -86,8 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help=(
             "cap texture max dimension (box-filtered atlas downsample); "
-            "0 = reference-exact full resolution; 256 is ~2.6x faster "
-            "per bounce on TPU"
+            "0 = reference-exact full resolution; 256 measures ~15%% faster "
+            "at the bench config but differs from exact by RMSE ~6/255 "
+            "(BENCHMARKS.md)"
         ),
     )
     parser.add_argument(
