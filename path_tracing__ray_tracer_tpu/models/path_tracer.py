@@ -150,8 +150,15 @@ def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth, shadow_tmax: str = "refer
         # physically correct and much cheaper for BVH scenes, where an
         # unbounded any-walk must scan the whole ray (QUIRKS.md).
         limit = _T_MAX if shadow_tmax == "reference" else dist - 1e-3
-        occluded = scene_hit_any(cs, above, ldir, _T_MIN, limit)
         cos_theta = jnp.maximum(ldir.dot(normal), 0.0)
+        # lanes whose NEE term is zero regardless of occlusion — missed the
+        # scene, light below the surface horizon, or a zero-diffuse material
+        # — don't need the occlusion answer; limit = -1 lets the BVH
+        # any-walk park them from step 0 so their blocks early-exit instead
+        # of walking the tree (exact: w_nee is masked/zero for them below)
+        care = hit.hit & (cos_theta > 0.0) & (diffuse > 0.0)
+        limit = jnp.where(care, jnp.asarray(limit, jnp.float32), -1.0)
+        occluded = scene_hit_any(cs, above, ldir, _T_MIN, limit)
         is_glass_cls = refractive > 0.5
         is_mirror_cls = reflective > 0.7
         intensity = jnp.where(is_glass_cls, 4.0, jnp.where(is_mirror_cls, 2.5, 2.0))

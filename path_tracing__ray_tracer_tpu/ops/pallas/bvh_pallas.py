@@ -504,7 +504,7 @@ def _bvh_any_kernel(
         cursor = jnp.where(any_hit & ~is_leaf, cursor + 1, skip_i)
         return cursor, found
 
-    init = (jnp.int32(0), jnp.zeros(ox.shape, jnp.float32))
+    init = (jnp.int32(0), (limit <= 0.0).astype(jnp.float32))
     _c, found = jax.lax.while_loop(cond, body, init)
     found_ref[:] = found
 
@@ -584,7 +584,11 @@ def _bvh_any_ordered_kernel(
         sp = jnp.where(push, sp + 2, sp)
         return step + 1, sp, found
 
-    init = (jnp.int32(0), jnp.int32(1), jnp.zeros(ox.shape, jnp.float32))
+    # lanes whose limit is <= 0 (callers pass -1 for don't-care lanes, e.g.
+    # NEE shadow rays of lanes that missed the scene) start pre-found: they
+    # add no walk work and count toward the all-found early exit.  Their
+    # reported occlusion is True ("don't care"); callers mask it.
+    init = (jnp.int32(0), jnp.int32(1), (limit <= 0.0).astype(jnp.float32))
     _s, _sp, found = jax.lax.while_loop(cond, body, init)
     found_ref[:] = found
 
@@ -828,7 +832,11 @@ def _bvh4_any_kernel(
             sp = jnp.where(want, sp + 1, sp)
         return step + 1, sp, found
 
-    init = (jnp.int32(0), jnp.int32(1), jnp.zeros(ox.shape, jnp.float32))
+    # lanes whose limit is <= 0 (callers pass -1 for don't-care lanes, e.g.
+    # NEE shadow rays of lanes that missed the scene) start pre-found: they
+    # add no walk work and count toward the all-found early exit.  Their
+    # reported occlusion is True ("don't care"); callers mask it.
+    init = (jnp.int32(0), jnp.int32(1), (limit <= 0.0).astype(jnp.float32))
     _s, _sp, found = jax.lax.while_loop(cond, body, init)
     found_ref[:] = found
 

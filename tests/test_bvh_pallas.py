@@ -240,6 +240,25 @@ def test_pack_blobs4_layout():
         assert tuple(r) in present
 
 
+def test_bvh_any_dont_care_lanes(interpreted_pallas):
+    """Lanes with limit <= 0 are parked from step 0 ("don't care", reported
+    occluded); live lanes must answer exactly as an all-live walk."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    scene = _soup_scene(64, seed=41)
+    cs = compile_scene(scene, use_bvh=True)
+    n = 512
+    ro, rd = _rays(n, 42)
+    lim = np.full(n, 16.0, np.float32)
+    all_live = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, lim))
+    dead = np.zeros(n, bool)
+    dead[::3] = True
+    mixed_lim = np.where(dead, -1.0, lim).astype(np.float32)
+    mixed = np.asarray(bp.bvh_any_pallas(cs.bvh, ro, rd, 1e-3, mixed_lim))
+    np.testing.assert_array_equal(mixed[~dead], all_live[~dead])
+    assert mixed[dead].all(), "parked lanes report occluded (don't care)"
+
+
 def test_bvh_multipass_matches_single_pass(interpreted_pallas, monkeypatch):
     """The multipass closest-hit walk (subtree passes + cleanup) must agree
     with the single-pass walk on hit/t everywhere — the cleanup pass makes it
