@@ -1,6 +1,5 @@
-"""Attribute config-5 steady time: normal vs shadow-disabled vs
-closest-only.  Monkeypatching scene_hit_any to constant-False removes the
-NEE any-walk (wrong image, right timing); that isolates its share."""
+"""Config-5 attribution round 2: stub out scene_hit (closest walk) as well,
+leaving only shading + regen + accumulate.  Wrong image, right timing."""
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax
@@ -27,6 +26,7 @@ print(f"warmup {time.time()-t0:.1f}s", flush=True)
 
 settings = ptrt.RenderSettings(1920, 1080, 8, 12)
 
+real_hit = pt.scene_hit
 real_any = pt.scene_hit_any
 
 
@@ -34,9 +34,29 @@ def fake_any(cs, o, d, t_min, limit):
     return jnp.zeros_like(o.x, dtype=bool)
 
 
-for label, patch in (("normal", real_any), ("no-shadow", fake_any)):
-    pt.scene_hit_any = patch
-    pt._path_chunk.clear_cache()  # force a re-trace under the patch
+def fake_hit(cs, o, d, t_min, t_max):
+    # plausible constant hit record: everything hits a horizontal plane 5
+    # units along the ray (keeps shading/regen arithmetic realistic)
+    n = o.x.shape
+    from path_tracing__ray_tracer_tpu.ops.intersect import SceneHit
+    from path_tracing__ray_tracer_tpu.ops.v3 import V3
+    t = jnp.full(n, 5.0)
+    hit = (o.x + d.x) < 1e9  # always True but data-dependent (not folded)
+    point = V3(o.x + d.x * t, o.y + d.y * t, o.z + d.z * t)
+    normal = V3(jnp.zeros(n), jnp.ones(n), jnp.zeros(n))
+    return SceneHit(hit=hit, t=t, point=point, normal=normal,
+                    u=jnp.zeros(n), v=jnp.zeros(n),
+                    prim=jnp.zeros(n, jnp.int32))
+
+
+variants = (
+    ("no-shadow", real_hit, fake_any),
+    ("no-trace", fake_hit, fake_any),
+)
+for label, hit_fn, any_fn in variants:
+    pt.scene_hit = hit_fn
+    pt.scene_hit_any = any_fn
+    pt._path_chunk.clear_cache()
     r = ptrt.RendererFactory.create(
         "tpu_path_raytracer", sample_group=8, chunk_rays=1 << 20,
         shadow_tmax="light", compile_overrides={"use_bvh": True},
@@ -51,5 +71,6 @@ for label, patch in (("normal", real_any), ("no-shadow", fake_any)):
     el = time.time() - t0
     print(f"{label}: steady {el:.2f}s for 8spp "
           f"-> {1920*1080*8*12/el/1e6:.1f} Mrays/s", flush=True)
+pt.scene_hit = real_hit
 pt.scene_hit_any = real_any
 print("done", flush=True)

@@ -118,6 +118,12 @@ class CompiledScene(NamedTuple):
     mip_offset: jnp.ndarray = None  # (T,) int32
     mip_width: jnp.ndarray = None
     mip_height: jnp.ndarray = None
+    # static shape-encoded flag (a jit arg keeps shapes, loses Python
+    # values): (1,) int8 when any TRIANGLE material is textured, (0,)
+    # otherwise — scene_hit skips the 6 per-lane triangle-uv interpolation
+    # gathers when nothing reads them (mesh scenes; measured in
+    # BENCHMARKS.md round 3).  None (hand-built scenes) = assume textured.
+    tri_uv_used: jnp.ndarray = None
 
     @property
     def n_planes(self) -> int:
@@ -431,12 +437,20 @@ def compile_scene(
         v2 = np.stack([np.asarray(t.v2.to_np()) for t in tris])
         tri_min = np.minimum(np.minimum(v0, v1), v2)
         tri_max = np.maximum(np.maximum(v0, v1), v2)
-        # vertices enable the Pallas block-synchronous traversal blobs
+        # vertices enable the Pallas block-synchronous traversal blobs; the
+        # stored normals ride in the slot records so the attrs walk is
+        # bit-identical to a triangles.normal gather
+        nrm = np.stack([np.asarray(t.normal.to_np()) for t in tris])
         flat_bvh = bvh_mod.to_device(
-            bvh_mod.build_bvh(tri_min, tri_max), v0=v0, v1=v1, v2=v2
+            bvh_mod.build_bvh(tri_min, tri_max), v0=v0, v1=v1, v2=v2, nrm=nrm
         )
 
+    tri_textured = any(
+        t.material is not None and t.material.texture is not None for t in tris
+    )
+
     return CompiledScene(
+        tri_uv_used=jnp.zeros((1 if tri_textured else 0,), jnp.int8),
         bvh=flat_bvh,
         planes=planes_soa,
         spheres=spheres_soa,

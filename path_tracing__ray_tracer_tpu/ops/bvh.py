@@ -210,9 +210,11 @@ def build_bvh(
 
 
 def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
-              v2: np.ndarray = None) -> FlatBVH:
+              v2: np.ndarray = None, nrm: np.ndarray = None) -> FlatBVH:
     """Upload a ``build_bvh`` result; with triangle vertices also pack the
-    scalar blobs that enable the Pallas block-synchronous traversal."""
+    scalar blobs that enable the Pallas block-synchronous traversal.
+    ``nrm`` should be the same stored unit normals as ``triangles.normal``
+    so the in-kernel attrs path is bit-identical to the gather path."""
     tree_blob = slot_blob = depth_token = None
     quad_blob = quad_depth_token = None
     if v0 is not None:
@@ -220,7 +222,8 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
 
         tree_np, slot_np, depth = pack_blobs(arrs, np.asarray(v0, np.float32),
                                              np.asarray(v1, np.float32),
-                                             np.asarray(v2, np.float32))
+                                             np.asarray(v2, np.float32),
+                                             nrm=nrm)
         tree_blob = jnp.asarray(tree_np)
         slot_blob = jnp.asarray(slot_np)
         # static tree-depth carrier: jit args lose Python ints, shapes survive

@@ -301,14 +301,23 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
         normal = V3.where(hit, V3(nx, ny, nz), V3.of(0.0, 1.0, 0.0))
         return SceneHit(hit=hit, t=t, point=point, normal=normal, u=u, v=v, prim=idx)
 
+    tri_attrs = None  # (u, v, stored normal) straight from the BVH kernel
     if cs.bvh is not None:
         ps_idx, ps_t, ps_hit = _closest_broadcast(
             cs, ro, rd, t_min, t_max, include_tris=False
         )
         if _bvh_pallas_enabled(cs, n[0]) and isinstance(t_max, (int, float)):
-            from .pallas.bvh_pallas import bvh_closest_pallas
+            from .pallas.bvh_pallas import (
+                bvh_closest_attrs_pallas,
+                bvh_closest_pallas,
+            )
 
-            tri_t, tri_local = bvh_closest_pallas(cs.bvh, ro, rd, t_min, t_max)
+            got = bvh_closest_attrs_pallas(cs.bvh, ro, rd, t_min, t_max)
+            if got is not None:
+                tri_t, tri_local, a_u, a_v, a_n = got
+                tri_attrs = (a_u, a_v, a_n)
+            else:
+                tri_t, tri_local = bvh_closest_pallas(cs.bvh, ro, rd, t_min, t_max)
             tri_idx = jnp.where(tri_local >= 0, tri_local + (P + S + Q), -1)
         elif _on_tpu():
             # per-ray vector gathers make the XLA walk catastrophically slow
@@ -378,21 +387,32 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
     q_u = cs.quads.uv0[0][qi] + qa * cs.quads.uva[0][qi] + qb * cs.quads.uvb[0][qi]
     q_v = cs.quads.uv0[1][qi] + qa * cs.quads.uva[1][qi] + qb * cs.quads.uvb[1][qi]
 
-    # triangle attributes: barycentrics recomputed, normal flipped toward ray
-    tv0 = cs.triangles.v0.take(ti)
-    e1 = cs.triangles.v1.take(ti) - tv0
-    e2 = cs.triangles.v2.take(ti) - tv0
-    h = rd.cross(e2)
-    det = e1.dot(h)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS, det, 1.0)
-    s_vec = ro - tv0
-    bu = inv_det * s_vec.dot(h)
-    bv = inv_det * rd.dot(s_vec.cross(e1))
+    # triangle attributes: barycentrics + stored normal come straight from
+    # the BVH kernel's SMEM slots when it ran (killing ~12 per-lane gathers
+    # + a Möller–Trumbore recompute, the measured dominant scene_hit cost at
+    # mesh scale — BENCHMARKS.md round 3); otherwise recomputed via gathers
+    if tri_attrs is not None:
+        bu, bv, tn_raw = tri_attrs
+    else:
+        tv0 = cs.triangles.v0.take(ti)
+        e1 = cs.triangles.v1.take(ti) - tv0
+        e2 = cs.triangles.v2.take(ti) - tv0
+        h = rd.cross(e2)
+        det = e1.dot(h)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS, det, 1.0)
+        s_vec = ro - tv0
+        bu = inv_det * s_vec.dot(h)
+        bv = inv_det * rd.dot(s_vec.cross(e1))
+        tn_raw = cs.triangles.normal.take(ti)
     bw = 1.0 - bu - bv
-    tn_raw = cs.triangles.normal.take(ti)
     tn = V3.where(tn_raw.dot(rd) > 0.0, -tn_raw, tn_raw)
-    t_u = bu * cs.triangles.uv1[0][ti] + bv * cs.triangles.uv2[0][ti] + bw * cs.triangles.uv0[0][ti]
-    t_v = bu * cs.triangles.uv1[1][ti] + bv * cs.triangles.uv2[1][ti] + bw * cs.triangles.uv0[1][ti]
+    if cs.tri_uv_used is None or cs.tri_uv_used.shape[0]:
+        t_u = bu * cs.triangles.uv1[0][ti] + bv * cs.triangles.uv2[0][ti] + bw * cs.triangles.uv0[0][ti]
+        t_v = bu * cs.triangles.uv1[1][ti] + bv * cs.triangles.uv2[1][ti] + bw * cs.triangles.uv0[1][ti]
+    else:
+        # no textured triangle in the scene → nothing reads triangle uv;
+        # skip the 6 per-lane gathers (shape-encoded static flag)
+        t_u = t_v = jnp.zeros_like(bu)
 
     normal = V3.where(
         is_plane, pn, V3.where(is_sphere, sn, V3.where(is_quad, qn, tn))

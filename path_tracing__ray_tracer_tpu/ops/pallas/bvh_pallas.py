@@ -69,8 +69,11 @@ _NODE4_F = 32
 # per-block traversal stack capacity (SMEM scratch, int32); trees deeper than
 # this fall back to the stackless skip-link kernel via the depth token gate
 _STACK_CAP = 192
-# slot record: v0(3) e1(3) e2(3) gid(-1 padding)
-_SLOT_F = 10
+# slot record: v0(3) e1(3) e2(3) gid(-1 padding) n(3) — the triangle's
+# stored unit normal rides along so the closest-attrs walk can emit the hit
+# normal without a post-kernel per-lane gather (a measured ~75 ns/lane of
+# scene_hit was XLA gathers re-fetching triangle data the kernel had in SMEM)
+_SLOT_F = 13
 # combined SMEM budget for tree + slot blobs (floats).  Measured on v5e:
 # 260K-float (1.04 MB) SMEM operands compile and run; 280K fails remote
 # compilation.  240K keeps headroom for the other scalar operands —
@@ -78,11 +81,17 @@ _SLOT_F = 10
 SMEM_BLOB_LIMIT = 240_000
 
 
-def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+               nrm: np.ndarray = None):
     """Flatten a ``build_bvh`` result + triangle vertices into the two scalar
     blobs the kernel consumes.  Leaf triangles are re-ordered into contiguous
     ``LEAF_SIZE`` slot groups so a leaf visit is one dynamic base + static
     offsets; padding slots are all-zero (degenerate → never hit).
+
+    ``nrm`` (optional) is the per-triangle stored unit normal — pass the
+    SAME array the scene compiler puts in ``triangles.normal`` so the
+    in-kernel attrs path is bit-identical to the gather path; defaults to
+    the normalized cross product.
 
     Returns ``(tree_blob, slot_blob, depth)`` — float32 ``(1, K)`` numpy
     arrays plus the tree's maximum node depth (root = 1), which bounds the
@@ -93,6 +102,10 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     m, leaf_size = slots.shape
     e1 = v1 - v0
     e2 = v2 - v0
+    if nrm is None:
+        nrm = np.cross(e1, e2)
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+    nrm = np.asarray(nrm, np.float32)
 
     tree = np.zeros((m, _NODE_F), np.float32)
     tree[:, 0:3] = lo
@@ -132,6 +145,7 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     rec[rows, 3:6] = e1[tri]
     rec[rows, 6:9] = e2[tri]
     rec[rows, 9] = tri.astype(np.float32)
+    rec[rows, 10:13] = nrm[tri]
 
     return tree.reshape(1, -1), rec.reshape(1, -1), depth
 
@@ -257,7 +271,10 @@ def _slab(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, ivx, ivy, ivz, t_min, far):
 
 def _leaf_tris(slot_ref, base_i, leaf_size, ox, oy, oz, dx, dy, dz, t_min, update):
     """Test ``leaf_size`` consecutive slot records starting at ``base_i``;
-    ``update(carry, win_mask_without_bound, t, gid)`` folds each candidate."""
+    ``update(carry, win_mask_without_bound, t, gid, u, v, n3)`` folds each
+    candidate (``u``/``v`` are the Möller–Trumbore barycentrics already in
+    registers, ``n3`` the slot's stored unit normal as three scalars —
+    callers that only need occlusion/t ignore the extras)."""
     out = None
     for k in range(leaf_size):
         o = base_i * _SLOT_F + k * _SLOT_F
@@ -265,6 +282,7 @@ def _leaf_tris(slot_ref, base_i, leaf_size, ox, oy, oz, dx, dy, dz, t_min, updat
         e1x, e1y, e1z = slot_ref[0, o + 3], slot_ref[0, o + 4], slot_ref[0, o + 5]
         e2x, e2y, e2z = slot_ref[0, o + 6], slot_ref[0, o + 7], slot_ref[0, o + 8]
         gid = slot_ref[0, o + 9]
+        n3 = (slot_ref[0, o + 10], slot_ref[0, o + 11], slot_ref[0, o + 12])
         # Möller–Trumbore, same formulation/epsilons as ops.bvh
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
@@ -284,7 +302,7 @@ def _leaf_tris(slot_ref, base_i, leaf_size, ox, oy, oz, dx, dy, dz, t_min, updat
             & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t > t_min)
         )
-        out = update(out, win, t, gid)
+        out = update(out, win, t, gid, u, v, n3)
     return out
 
 
@@ -319,7 +337,7 @@ def _bvh_closest_kernel(
         def leaf_fn(args):
             bt, bi = args
 
-            def upd(carry2, win, t, gid):
+            def upd(carry2, win, t, gid, *_attrs):
                 bt2, bi2 = carry2 if carry2 is not None else (bt, bi)
                 # per-lane box mask for exact parity with ops.bvh (a lane
                 # whose slab test failed must not accept borderline-FP hits)
@@ -399,7 +417,7 @@ def _bvh_closest_ordered_kernel(
         def leaf_fn(args):
             bt, bi = args
 
-            def upd(carry2, win, t, gid):
+            def upd(carry2, win, t, gid, *_attrs):
                 bt2, bi2 = carry2 if carry2 is not None else (bt, bi)
                 w = win & box_hit & (t < bt2)
                 bt2 = jnp.where(w, t, bt2)
@@ -490,7 +508,7 @@ def _bvh_any_kernel(
         is_leaf = base_f >= 0.0
 
         def leaf_fn(fnd):
-            def upd(carry2, win, t, _gid):
+            def upd(carry2, win, t, _gid, *_attrs):
                 f = carry2 if carry2 is not None else fnd
                 hit_now = win & box_hit & (t < limit)
                 return jnp.maximum(f, hit_now.astype(jnp.float32))
@@ -551,7 +569,7 @@ def _bvh_any_ordered_kernel(
         is_leaf = base_f >= 0.0
 
         def leaf_fn(fnd):
-            def upd(carry2, win, t, _gid):
+            def upd(carry2, win, t, _gid, *_attrs):
                 f = carry2 if carry2 is not None else fnd
                 hit_now = win & box_hit & (t < limit)
                 return jnp.maximum(f, hit_now.astype(jnp.float32))
@@ -595,13 +613,22 @@ def _bvh_any_ordered_kernel(
 
 # packed dual-count reductions need every per-child count < 2^13
 _PACK_FIELD = 13
+# ONE bitwise-OR reduction (4 any-bits in one int32) instead of TWO packed
+# sum-reductions per pop.  UNSUPPORTED on the current toolchain: Mosaic has
+# no lowering for ``lax.reduce`` (NotImplementedError: "Unimplemented
+# primitive ... reduce", measured 2026-08 round 3), and no other one-shot
+# 4-field reduction fits int32 (3×11-bit counts at 1024 lanes already need
+# 33 bits).  Keep False until Mosaic grows or-reduce; interpret mode runs
+# either form (tested).
+BVH_OR_REDUCE = False
 
 
 def _quad_pop_common(tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far):
-    """Shared BVH4 pop front half: 4 child slab tests + TWO packed int32
-    sum-reductions instead of four ``any`` reductions (the vector→scalar
-    reduction is the measured per-step bottleneck; two 13-bit fields per
-    int32 halve it — block counts are ≤ TRAV_ROWS·128 = 4096 < 2^13)."""
+    """Shared BVH4 pop front half: 4 child slab tests + ONE reduction for
+    the four block-level any bits (the vector→scalar reduction is the
+    measured per-step bottleneck; an or-reduce of 4 packed bits replaces the
+    earlier two 13-bit-field sum-reductions, which themselves replaced four
+    ``any``s)."""
     b = node * _NODE4_F
     hits = []
     for c in range(4):
@@ -613,17 +640,30 @@ def _quad_pop_common(tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far):
                 ox, oy, oz, ivx, ivy, ivz, t_min, far,
             )
         )
-    one = jnp.int32(1)
-    shift = jnp.int32(1 << _PACK_FIELD)
-    s01 = jnp.sum(hits[0].astype(jnp.int32) * one + hits[1].astype(jnp.int32) * shift)
-    s23 = jnp.sum(hits[2].astype(jnp.int32) * one + hits[3].astype(jnp.int32) * shift)
-    mask = jnp.int32((1 << _PACK_FIELD) - 1)
-    anyc = (
-        (s01 & mask) > 0,
-        (s01 >> _PACK_FIELD) > 0,
-        (s23 & mask) > 0,
-        (s23 >> _PACK_FIELD) > 0,
-    )
+    if BVH_OR_REDUCE:
+        bits = (
+            hits[0].astype(jnp.int32)
+            + hits[1].astype(jnp.int32) * 2
+            + hits[2].astype(jnp.int32) * 4
+            + hits[3].astype(jnp.int32) * 8
+        )
+        r = jax.lax.reduce(bits, jnp.int32(0), jax.lax.bitwise_or,
+                           tuple(range(bits.ndim)))
+        anyc = ((r & 1) > 0, (r & 2) > 0, (r & 4) > 0, (r & 8) > 0)
+    else:
+        one = jnp.int32(1)
+        shift = jnp.int32(1 << _PACK_FIELD)
+        s01 = jnp.sum(hits[0].astype(jnp.int32) * one
+                      + hits[1].astype(jnp.int32) * shift)
+        s23 = jnp.sum(hits[2].astype(jnp.int32) * one
+                      + hits[3].astype(jnp.int32) * shift)
+        mask = jnp.int32((1 << _PACK_FIELD) - 1)
+        anyc = (
+            (s01 & mask) > 0,
+            (s01 >> _PACK_FIELD) > 0,
+            (s23 & mask) > 0,
+            (s23 >> _PACK_FIELD) > 0,
+        )
     metas = tuple(tree_ref[0, b + 24 + c] for c in range(4))
     return b, hits, anyc, metas
 
@@ -661,12 +701,18 @@ def _quad_push_order(tree_ref, b, metas, anyc, pg_of):
 
 
 def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
-               start_node, ox, oy, oz, dx, dy, dz, bt0, bi0):
+               start_node, ox, oy, oz, dx, dy, dz, bt0, bi0,
+               with_attrs: bool = False):
     """Shared front-to-back BVH4 stack walk from ``start_node`` with a
     carried (best_t, best_i): one pop slab-tests FOUR child boxes and pays
     TWO packed reductions, replacing ~3 BVH2 pops (1 reduction each) — the
     reduction + scalar-control share of the ~270 ns/step BVH2 cost is what
-    this halves.  Same per-lane hit math as the BVH2 kernels."""
+    this halves.  Same per-lane hit math as the BVH2 kernels.
+
+    ``with_attrs`` additionally carries the winning slot's Möller–Trumbore
+    barycentrics and stored normal (5 extra selects per slot), so the
+    caller needs NO post-kernel gathers to build the hit record; returns
+    ``(bt, bi)`` or ``(bt, bi, u, v, nx, ny, nz)``."""
     ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
     ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
     ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
@@ -685,32 +731,40 @@ def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
         return (sp > 0) & (step < m4 + 2)
 
     def body(carry):
-        step, sp, best_t, best_i = carry
+        step, sp, *best = carry
+        best = tuple(best)
         sp = sp - 1
         node = stack_ref[sp]
         b, hits, anyc, metas = _quad_pop_common(
-            tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, best_t
+            tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, best[0]
         )
 
         for c in range(4):
             def leaf_fn(args, base_f=metas[c], bh=hits[c]):
-                bt, bi = args
-
-                def upd(carry2, win, t, gid):
-                    bt2, bi2 = carry2 if carry2 is not None else (bt, bi)
-                    w = win & bh & (t < bt2)
-                    bt2 = jnp.where(w, t, bt2)
-                    bi2 = jnp.where(w, gid.astype(jnp.int32), bi2)
-                    return bt2, bi2
+                def upd(carry2, win, t, gid, u, v, n3):
+                    cur = carry2 if carry2 is not None else args
+                    w = win & bh & (t < cur[0])
+                    out = (
+                        jnp.where(w, t, cur[0]),
+                        jnp.where(w, gid.astype(jnp.int32), cur[1]),
+                    )
+                    if with_attrs:
+                        out = out + (
+                            jnp.where(w, u, cur[2]),
+                            jnp.where(w, v, cur[3]),
+                            jnp.where(w, n3[0], cur[4]),
+                            jnp.where(w, n3[1], cur[5]),
+                            jnp.where(w, n3[2], cur[6]),
+                        )
+                    return out
 
                 return _leaf_tris(
                     slot_ref, base_f.astype(jnp.int32), leaf_size,
                     ox, oy, oz, dx, dy, dz, t_min, upd,
                 )
 
-            best_t, best_i = jax.lax.cond(
-                anyc[c] & (metas[c] >= 0.0), leaf_fn, lambda a: a,
-                (best_t, best_i),
+            best = jax.lax.cond(
+                anyc[c] & (metas[c] >= 0.0), leaf_fn, lambda a: a, best
             )
 
         for meta_k, any_k in _quad_push_order(tree_ref, b, metas, anyc, pg_of):
@@ -722,11 +776,14 @@ def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
                 stack_ref[sp] = child
 
             sp = jnp.where(want, sp + 1, sp)
-        return step + 1, sp, best_t, best_i
+        return (step + 1, sp) + best
 
-    init = (jnp.int32(0), jnp.int32(1), bt0, bi0)
-    _s, _sp, best_t, best_i = jax.lax.while_loop(cond, body, init)
-    return best_t, best_i
+    best0 = (bt0, bi0)
+    if with_attrs:
+        zero = jnp.zeros_like(bt0)
+        best0 = best0 + (zero, zero, zero, jnp.ones_like(bt0), zero)
+    out = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)) + best0)
+    return out[2:]
 
 
 def _bvh4_closest_kernel(
@@ -743,6 +800,30 @@ def _bvh4_closest_kernel(
     )
     bt_ref[:] = best_t
     bi_ref[:] = best_i
+
+
+def _bvh4_closest_attrs_kernel(
+    m4, leaf_size, t_min, t_max,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    bt_ref, bi_ref, bu_ref, bv_ref, nx_ref, ny_ref, nz_ref, stack_ref,
+):
+    """Whole-tree BVH4 closest-hit walk that also emits the winning slot's
+    barycentric (u, v) and stored normal — the hit record needs no
+    post-kernel triangle gathers (see ``_bvh4_walk(with_attrs=True)``)."""
+    ox = ox_ref[:]
+    bt, bi, bu, bv, nx, ny, nz = _bvh4_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref, jnp.int32(0),
+        ox, oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
+        jnp.full_like(ox, t_max), jnp.full(ox.shape, -1, jnp.int32),
+        with_attrs=True,
+    )
+    bt_ref[:] = bt
+    bi_ref[:] = bi
+    bu_ref[:] = bu
+    bv_ref[:] = bv
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
 
 
 def _bvh4_closest_rooted_kernel(
@@ -807,7 +888,7 @@ def _bvh4_any_kernel(
 
         for c in range(4):
             def leaf_fn(fnd, base_f=metas[c], bh=hits[c]):
-                def upd(carry2, win, t, _gid):
+                def upd(carry2, win, t, _gid, *_attrs):
                     f = carry2 if carry2 is not None else fnd
                     hit_now = win & bh & (t < limit)
                     return jnp.maximum(f, hit_now.astype(jnp.float32))
@@ -1188,6 +1269,63 @@ def _bvh_closest_multipass(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     )
     _i, bt, bi = jax.lax.sort([sidx, bt, bi], num_keys=1, is_stable=True)
     return bt, bi
+
+
+def bvh_closest_attrs_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
+    """``(best_t, best_local_tri_idx, u, v, normal V3)`` over the ray batch —
+    the closest walk that also emits the winning triangle's hit attributes
+    from SMEM, killing the ~75 ns/lane of post-kernel XLA gathers that
+    dominated mesh-scene ``scene_hit`` (measured, BENCHMARKS.md round 3).
+    Returns ``None`` when the BVH4 blob is unavailable (caller falls back to
+    ``bvh_closest_pallas`` + gathers).  Attrs are only meaningful where
+    ``best_i >= 0``; the normal is the triangle's STORED unit normal
+    (bit-identical to ``triangles.normal``), unflipped.
+    """
+    if not _quad_ok(bvh):
+        return None
+    n = ro.x.shape[0]
+
+    def run(o, d):
+        rows, block_rows = _blocks(n)
+        m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+        leaf_size = int(bvh.slots.shape[1])
+        spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        def rows2(a):
+            return a.reshape(rows, LANES)
+
+        f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+        i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+        outs = pl.pallas_call(
+            partial(_bvh4_closest_attrs_kernel, m4, leaf_size,
+                    float(t_min), float(t_max)),
+            grid=(rows // block_rows,),
+            in_specs=[smem, smem] + [spec] * 6,
+            out_specs=[spec] * 7,
+            out_shape=[f32, i32, f32, f32, f32, f32, f32],
+            scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+        )(
+            bvh.quad_blob, bvh.slot_blob,
+            rows2(o.x), rows2(o.y), rows2(o.z),
+            rows2(d.x), rows2(d.y), rows2(d.z),
+        )
+        return tuple(a.reshape(n) for a in outs)
+
+    if _sort_enabled(n):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _k, sx, sy, sz, sdx, sdy, sdz, sidx = jax.lax.sort(
+            [_sort_key(bvh, ro, rd), ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, iota],
+            num_keys=1, is_stable=True,
+        )
+        bt, bi, bu, bv, nx, ny, nz = run(V3(sx, sy, sz), V3(sdx, sdy, sdz))
+        _i, bt, bi, bu, bv, nx, ny, nz = jax.lax.sort(
+            [sidx, bt, bi, bu, bv, nx, ny, nz], num_keys=1, is_stable=True
+        )
+    else:
+        bt, bi, bu, bv, nx, ny, nz = run(ro, rd)
+    return bt, bi, bu, bv, V3(nx, ny, nz)
 
 
 def bvh_closest_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):

@@ -240,6 +240,50 @@ def test_pack_blobs4_layout():
         assert tuple(r) in present
 
 
+def test_bvh_closest_attrs_matches_gathers(interpreted_pallas):
+    """The attrs kernel's (t, i) must equal the plain kernel's, its normal
+    must equal the STORED per-triangle normal (bit-exact — it is selected,
+    not recomputed), and its barycentrics must match the XLA recompute to
+    float tolerance."""
+    import jax.numpy as jnp
+
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    scene = _soup_scene(64, seed=51)
+    cs = compile_scene(scene, use_bvh=True)
+    n = 512
+    ro, rd = _rays(n, 52)
+
+    got = bp.bvh_closest_attrs_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    assert got is not None
+    bt_a, bi_a, u_a, v_a, n_a = got
+    bt, bi = bp.bvh_closest_pallas(cs.bvh, ro, rd, 1e-3, 1e6)
+    np.testing.assert_array_equal(np.asarray(bt_a), np.asarray(bt))
+    np.testing.assert_array_equal(np.asarray(bi_a), np.asarray(bi))
+
+    hit = np.asarray(bi) >= 0
+    ti = np.clip(np.asarray(bi), 0, cs.n_triangles - 1)
+    stored = cs.triangles.normal.take(jnp.asarray(ti))
+    for a, b in ((n_a.x, stored.x), (n_a.y, stored.y), (n_a.z, stored.z)):
+        np.testing.assert_array_equal(np.asarray(a)[hit], np.asarray(b)[hit])
+
+    # barycentric cross-check against a host Möller-Trumbore recompute
+    tv0 = np.asarray(cs.triangles.v0.to_array())[ti]
+    tv1 = np.asarray(cs.triangles.v1.to_array())[ti]
+    tv2 = np.asarray(cs.triangles.v2.to_array())[ti]
+    e1, e2 = tv1 - tv0, tv2 - tv0
+    ro_np = np.asarray(ro.to_array())
+    rd_np = np.asarray(rd.to_array())
+    h = np.cross(rd_np, e2)
+    det = (e1 * h).sum(-1)
+    inv = 1.0 / np.where(np.abs(det) > 1e-6, det, 1.0)
+    s = ro_np - tv0
+    bu = inv * (s * h).sum(-1)
+    bv = inv * (rd_np * np.cross(s, e1)).sum(-1)
+    np.testing.assert_allclose(np.asarray(u_a)[hit], bu[hit], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_a)[hit], bv[hit], atol=1e-4)
+
+
 def test_bvh_any_dont_care_lanes(interpreted_pallas):
     """Lanes with limit <= 0 are parked from step 0 ("don't care", reported
     occluded); live lanes must answer exactly as an all-live walk."""
