@@ -240,6 +240,58 @@ def test_pack_blobs4_layout():
         assert tuple(r) in present
 
 
+def test_textured_tri_uv_through_attrs_walk(interpreted_pallas, tmp_path):
+    """End-to-end ``scene_hit`` wiring check for the attrs walk on TEXTURED
+    triangles: the kernel-supplied barycentrics must interpolate the same
+    (u, v) as the XLA gather recompute (same winner => same uv), and
+    ``tri_uv_used`` must be shape (1,) so the uv gate is actually on."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    png = tmp_path / "t.png"
+    Image.fromarray(
+        (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5)
+    ).save(png)
+    tex = ptrt.Texture(str(png))
+    mat = ptrt.Material(ptrt.Vec3(0.7, 0.6, 0.5), diffuse=0.8, texture=tex)
+
+    rng = np.random.default_rng(53)
+    scene = ptrt.Scene()
+    n_tris = 48
+    for _ in range(n_tris):
+        a = rng.uniform(-10, 10, 3)
+        b = a + rng.uniform(-2, 2, 3)
+        c = a + rng.uniform(-2, 2, 3)
+        scene.add_object(ptrt.Triangle(
+            ptrt.Vec3(*a), ptrt.Vec3(*b), ptrt.Vec3(*c),
+            uv0=rng.uniform(0, 1, 2), uv1=rng.uniform(0, 1, 2),
+            uv2=rng.uniform(0, 1, 2), material=mat,
+        ))
+    scene.add_light_sample(ptrt.Vec3(0, 20, 0))
+    cs = compile_scene(scene, use_bvh=True)
+    assert cs.tri_uv_used is not None and cs.tri_uv_used.shape == (1,)
+    assert cs.n_triangles == n_tris  # random soup must not quad-merge
+
+    ro, rd = _rays(256, 54)
+    hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = False
+    hit_x = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = True
+
+    same = np.asarray(hit_k.prim) == np.asarray(hit_x.prim)
+    assert same.mean() > 0.99  # exact-t ties may differ (QUIRKS.md)
+    for name in ("u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_k, name))[same],
+            np.asarray(getattr(hit_x, name))[same], atol=1e-4,
+        )
+    for c in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_k.normal, c))[same],
+            np.asarray(getattr(hit_x.normal, c))[same], atol=1e-5,
+        )
+
+
 def test_bvh_closest_attrs_matches_gathers(interpreted_pallas):
     """The attrs kernel's (t, i) must equal the plain kernel's, its normal
     must equal the STORED per-triangle normal (bit-exact — it is selected,
