@@ -29,6 +29,7 @@ differently because visit order is SAH order (documented in QUIRKS.md).
 from __future__ import annotations
 
 from functools import partial
+import os
 
 import jax
 import jax.numpy as jnp
@@ -983,6 +984,12 @@ BVH_SUBKEY_DEPTH = 1
 # tested against the single-pass walk.
 BVH_MULTIPASS = False
 _MP_MIN_DEPTH4 = 4  # shallow quad trees: subtree split cannot pay
+# closest walk emits (u, v, stored normal) from SMEM so scene_hit skips its
+# post-kernel triangle gathers (see bvh_closest_attrs_pallas).  Env escape
+# hatch PTRT_BVH_ATTRS=0 exists because the kernel was interpret-verified
+# during a hardware outage; flip it off if the real Mosaic toolchain
+# rejects the 7-output carry without editing code.
+BVH_ATTRS = os.environ.get("PTRT_BVH_ATTRS", "1") != "0"
 
 
 def _slab_key(lo3, hi3, ro: V3, rd: V3, far=None) -> jnp.ndarray:
@@ -1281,7 +1288,7 @@ def bvh_closest_attrs_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     ``best_i >= 0``; the normal is the triangle's STORED unit normal
     (bit-identical to ``triangles.normal``), unflipped.
     """
-    if not _quad_ok(bvh):
+    if not (BVH_ATTRS and _quad_ok(bvh)):
         return None
     n = ro.x.shape[0]
 
