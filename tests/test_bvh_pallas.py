@@ -336,6 +336,35 @@ def test_bvh_closest_attrs_matches_gathers(interpreted_pallas):
     np.testing.assert_allclose(np.asarray(v_a)[hit], bv[hit], atol=1e-4)
 
 
+def test_bvh_attrs_hatch_off_matches_scene_hit(interpreted_pallas, monkeypatch):
+    """The PTRT_BVH_ATTRS=0 escape hatch (BVH_ATTRS=False) must route
+    ``scene_hit`` through the plain kernel + XLA gather recompute and land on
+    the same answer as the attrs walk (same winner => same t/normal/uv)."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    # small soup: the interpret-mode kernel's XLA CPU compile time grows
+    # steeply with tree size (64 tris ≈ minutes; 16 tris is cheap)
+    scene = _soup_scene(16, seed=61)
+    cs = compile_scene(scene, use_bvh=True)
+    ro, rd = _rays(256, 62)
+
+    hit_on = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_ATTRS", False)
+    assert bp.bvh_closest_attrs_pallas(cs.bvh, ro, rd, 1e-3, 1e6) is None
+    hit_off = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_array_equal(np.asarray(hit_on.prim), np.asarray(hit_off.prim))
+    np.testing.assert_array_equal(np.asarray(hit_on.t), np.asarray(hit_off.t))
+    for c in ("x", "y", "z"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(hit_on.normal, c)),
+            np.asarray(getattr(hit_off.normal, c)))
+    for name in ("u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_on, name)),
+            np.asarray(getattr(hit_off, name)), atol=1e-4)
+
+
 def test_bvh_any_dont_care_lanes(interpreted_pallas):
     """Lanes with limit <= 0 are parked from step 0 ("don't care", reported
     occluded); live lanes must answer exactly as an all-live walk."""
