@@ -186,16 +186,21 @@ class force_pallas:
 
 
 def _pallas_enabled(cs) -> bool:
+    from .pallas.intersect_pallas import fits_smem
+
     if USE_PALLAS is not None:
-        return bool(USE_PALLAS)
+        # the override still respects the scene-shape gate: a forced True
+        # must not route BVH scenes into the all-primitive SMEM sweep (which
+        # would silently bypass the BVH kernels — exactly what interpret-mode
+        # tests exist to exercise; production hits the same gate via the
+        # backend branch below)
+        return bool(USE_PALLAS) and fits_smem(cs)
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover
         return False
     if backend != "tpu":
         return False
-    from .pallas.intersect_pallas import fits_smem
-
     return fits_smem(cs)
 
 
@@ -283,6 +288,32 @@ def _closest_broadcast(cs: CompiledScene, ro: V3, rd: V3, t_min, t_max,
     return jnp.where(hit, best_idx, -1), best_t, hit
 
 
+def _fused_scene_hit(cs: CompiledScene, ro: V3, rd: V3, fused) -> SceneHit:
+    """Build the ``SceneHit`` record from the fused whole-scene BVH kernel's
+    outputs (``bvh_pallas.bvh_scene_closest_pallas``): the kernel already
+    merged the ps-sweep and triangle winners, flipped normals, and emitted
+    ps surface uv / triangle barycentrics — only the textured-triangle uv
+    interpolation (or its shape-encoded skip) remains in XLA."""
+    bt, bi, bu, bv, normal = fused
+    P, S, Q = cs.n_planes, cs.n_spheres, cs.n_quads
+    hit = bi >= 0
+    point = ro + rd * bt
+    is_tri = bi >= (P + S + Q)
+    if cs.tri_uv_used is None or cs.tri_uv_used.shape[0]:
+        ti = jnp.clip(bi - P - S - Q, 0, cs.n_triangles - 1)
+        bw = 1.0 - bu - bv
+        t_u = bu * cs.triangles.uv1[0][ti] + bv * cs.triangles.uv2[0][ti] + bw * cs.triangles.uv0[0][ti]
+        t_v = bu * cs.triangles.uv1[1][ti] + bv * cs.triangles.uv2[1][ti] + bw * cs.triangles.uv0[1][ti]
+        u = jnp.where(is_tri, t_u, bu)
+        v = jnp.where(is_tri, t_v, bv)
+    else:
+        # no textured triangle in the scene → nothing reads triangle uv
+        u = jnp.where(is_tri, 0.0, bu)
+        v = jnp.where(is_tri, 0.0, bv)
+    normal = V3.where(hit, normal, V3.of(0.0, 1.0, 0.0))
+    return SceneHit(hit=hit, t=bt, point=point, normal=normal, u=u, v=v, prim=bi)
+
+
 def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHit:
     """Closest hit of every ray against the whole scene.
 
@@ -303,6 +334,14 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
 
     tri_attrs = None  # (u, v, stored normal) straight from the BVH kernel
     if cs.bvh is not None:
+        if _bvh_pallas_enabled(cs, n[0]) and isinstance(t_max, (int, float)):
+            # fused whole-scene kernel: ps sweep + seeded BVH4 attrs walk in
+            # one launch, no XLA combine/epilogue (bvh_pallas, BVH_SCENE)
+            from .pallas.bvh_pallas import bvh_scene_closest_pallas
+
+            fused = bvh_scene_closest_pallas(cs, ro, rd, t_min, t_max)
+            if fused is not None:
+                return _fused_scene_hit(cs, ro, rd, fused)
         ps_idx, ps_t, ps_hit = _closest_broadcast(
             cs, ro, rd, t_min, t_max, include_tris=False
         )
@@ -443,6 +482,14 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
         return any_hit_pallas(cs, pack_scene_blob(cs), ro, rd, t_min, limit)
 
     if cs.bvh is not None:
+        if _bvh_pallas_enabled(cs, n[0]):
+            # fused whole-scene occlusion: ps sweep seeds the BVH4 any-walk
+            # inside one kernel (bvh_pallas, BVH_SCENE)
+            from .pallas.bvh_pallas import bvh_scene_any_pallas
+
+            fused = bvh_scene_any_pallas(cs, ro, rd, t_min, limit)
+            if fused is not None:
+                return fused
         ro1, rd1 = _lift(ro), _lift(rd)
         bound = limit[:, None]
         vp, _ = _plane_candidate(cs, _ALL, ro1, rd1, t_min, bound)

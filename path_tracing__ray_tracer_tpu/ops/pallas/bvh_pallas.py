@@ -703,7 +703,7 @@ def _quad_push_order(tree_ref, b, metas, anyc, pg_of):
 
 def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
                start_node, ox, oy, oz, dx, dy, dz, bt0, bi0,
-               with_attrs: bool = False):
+               with_attrs: bool = False, attrs0=None, gid_offset: int = 0):
     """Shared front-to-back BVH4 stack walk from ``start_node`` with a
     carried (best_t, best_i): one pop slab-tests FOUR child boxes and pays
     TWO packed reductions, replacing ~3 BVH2 pops (1 reduction each) — the
@@ -713,7 +713,12 @@ def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
     ``with_attrs`` additionally carries the winning slot's Möller–Trumbore
     barycentrics and stored normal (5 extra selects per slot), so the
     caller needs NO post-kernel gathers to build the hit record; returns
-    ``(bt, bi)`` or ``(bt, bi, u, v, nx, ny, nz)``."""
+    ``(bt, bi)`` or ``(bt, bi, u, v, nx, ny, nz)``.  ``attrs0`` optionally
+    seeds that attrs carry (u, v, nx, ny, nz) — the fused scene kernel
+    passes the plane/sphere/quad sweep's winner attrs so a triangle only
+    overwrites them by strictly beating ``bt0``.  ``gid_offset`` shifts the
+    stored triangle ids into the scene-global index space (tris come after
+    the ``P+S+Q`` non-tri primitives)."""
     ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
     ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
     ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
@@ -745,9 +750,12 @@ def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
                 def upd(carry2, win, t, gid, u, v, n3):
                     cur = carry2 if carry2 is not None else args
                     w = win & bh & (t < cur[0])
+                    g = gid.astype(jnp.int32)
+                    if gid_offset:
+                        g = g + gid_offset
                     out = (
                         jnp.where(w, t, cur[0]),
-                        jnp.where(w, gid.astype(jnp.int32), cur[1]),
+                        jnp.where(w, g, cur[1]),
                     )
                     if with_attrs:
                         out = out + (
@@ -781,8 +789,10 @@ def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
 
     best0 = (bt0, bi0)
     if with_attrs:
-        zero = jnp.zeros_like(bt0)
-        best0 = best0 + (zero, zero, zero, jnp.ones_like(bt0), zero)
+        if attrs0 is None:
+            zero = jnp.zeros_like(bt0)
+            attrs0 = (zero, zero, zero, jnp.ones_like(bt0), zero)
+        best0 = best0 + tuple(attrs0)
     out = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)) + best0)
     return out[2:]
 
@@ -851,16 +861,62 @@ def _bvh4_closest_rooted_kernel(
     bi_ref[:] = jnp.where(en, best_i, bi0)
 
 
-def _bvh4_any_kernel(
-    m4, leaf_size, t_min,
-    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    limit_ref, found_ref, stack_ref,
+def _bvh4_scene_closest_kernel(
+    m4, leaf_size, ps_layout, gid_offset, t_min, t_max,
+    tree_ref, slot_ref, ps_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    bt_ref, bi_ref, bu_ref, bv_ref, nx_ref, ny_ref, nz_ref, stack_ref,
 ):
-    """BVH4 occlusion walk: packed dual reductions + near-first order so
-    occluded lanes park early and the all-found exit fires sooner."""
+    """Whole-SCENE closest hit in ONE kernel: the plane/sphere/quad sweep
+    over the SMEM scene blob (``intersect_pallas._sweep_prims``) seeds the
+    BVH4 attrs walk's per-lane best, so (a) triangles behind a ps winner are
+    pruned by the walk's ``best_t`` bound and (b) the final winner's
+    attributes come out merged — killing the XLA broadcast ps sweep, the
+    tri-vs-ps combine, and the winner-attribute select epilogue that made
+    mesh-scene ``scene_hit`` 58.6 vs the raw kernel's ~40 ns/lane
+    (BENCHMARKS.md round 3).
+
+    Outputs: global prim index (ps order first, triangles at
+    ``gid_offset``+local), final shading normal (quads/tris flipped toward
+    the ray, planes raw, spheres geometric — identical rules to
+    ``intersect.scene_hit``), and uv = the ps winner's surface uv or the
+    triangle winner's RAW barycentrics (the caller interpolates per-tri uv
+    only for textured scenes, exactly as the attrs path does)."""
+    from .intersect_pallas import _sweep_prims
+
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    limit = limit_ref[:]
+    ps_t, ps_i, ps_nx, ps_ny, ps_nz, ps_u, ps_v = _sweep_prims(
+        ps_ref, ps_layout, ox, oy, oz, dx, dy, dz, t_min, t_max,
+        want_attrs=True,
+    )
+    bt, bi, bu, bv, nx, ny, nz = _bvh4_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref, jnp.int32(0),
+        ox, oy, oz, dx, dy, dz, ps_t, ps_i,
+        with_attrs=True, attrs0=(ps_u, ps_v, ps_nx, ps_ny, ps_nz),
+        gid_offset=gid_offset,
+    )
+    # slot normals are stored unflipped; apply scene_hit's toward-the-ray
+    # flip to TRIANGLE winners only (the sweep already flipped quads and
+    # left planes raw).  `-n` == `n * -1.0` bit-exactly in IEEE f32.
+    is_tri = bi >= gid_offset
+    flip = is_tri & (nx * dx + ny * dy + nz * dz > 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    bt_ref[:] = bt
+    bi_ref[:] = bi
+    bu_ref[:] = bu
+    bv_ref[:] = bv
+    nx_ref[:] = nx * sgn
+    ny_ref[:] = ny * sgn
+    nz_ref[:] = nz * sgn
+
+
+def _bvh4_any_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+                   ox, oy, oz, dx, dy, dz, limit, found0):
+    """BVH4 occlusion walk body: packed dual reductions + near-first order
+    so occluded lanes park early and the all-found exit fires sooner.
+    ``found0`` seeds the parked/found state (1.0 = already occluded /
+    don't-care)."""
     ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
     ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
     ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
@@ -914,13 +970,61 @@ def _bvh4_any_kernel(
             sp = jnp.where(want, sp + 1, sp)
         return step + 1, sp, found
 
+    init = (jnp.int32(0), jnp.int32(1), found0)
+    _s, _sp, found = jax.lax.while_loop(cond, body, init)
+    return found
+
+
+def _bvh4_any_kernel(
+    m4, leaf_size, t_min,
+    tree_ref, slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, found_ref, stack_ref,
+):
+    """Whole-tree BVH4 occlusion walk (see ``_bvh4_any_walk``)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
     # lanes whose limit is <= 0 (callers pass -1 for don't-care lanes, e.g.
     # NEE shadow rays of lanes that missed the scene) start pre-found: they
     # add no walk work and count toward the all-found early exit.  Their
     # reported occlusion is True ("don't care"); callers mask it.
-    init = (jnp.int32(0), jnp.int32(1), (limit <= 0.0).astype(jnp.float32))
-    _s, _sp, found = jax.lax.while_loop(cond, body, init)
-    found_ref[:] = found
+    found_ref[:] = _bvh4_any_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+        ox, oy, oz, dx, dy, dz, limit,
+        (limit <= 0.0).astype(jnp.float32),
+    )
+
+
+def _bvh4_scene_any_kernel(
+    m4, leaf_size, ps_layout, t_min,
+    tree_ref, slot_ref, ps_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, found_ref, stack_ref,
+):
+    """Whole-SCENE occlusion in one kernel: the plane/sphere/quad sweep over
+    the SMEM scene blob (``intersect_pallas._sweep_prims``) seeds the BVH4
+    any-walk's found state, so ps-occluded lanes park before the tree walk
+    starts and no XLA combine runs afterwards."""
+    from .intersect_pallas import _sweep_prims
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
+    # per-lane bound = limit reproduces the XLA candidates' strict-< test;
+    # don't-care lanes (limit <= 0) can never satisfy t < limit here, so
+    # they are seeded found by the explicit limit term exactly as in
+    # _bvh4_any_kernel
+    _t, ps_i, *_ = _sweep_prims(
+        ps_ref, ps_layout, ox, oy, oz, dx, dy, dz, t_min, limit,
+        want_attrs=False,
+    )
+    found0 = jnp.maximum(
+        (limit <= 0.0).astype(jnp.float32), (ps_i >= 0).astype(jnp.float32)
+    )
+    found_ref[:] = _bvh4_any_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+        ox, oy, oz, dx, dy, dz, limit, found0,
+    )
 
 
 def _blocks(n):
@@ -990,6 +1094,31 @@ _MP_MIN_DEPTH4 = 4  # shallow quad trees: subtree split cannot pay
 # during a hardware outage; flip it off if the real Mosaic toolchain
 # rejects the 7-output carry without editing code.
 BVH_ATTRS = os.environ.get("PTRT_BVH_ATTRS", "1") != "0"
+# fused whole-scene kernels: sweep the plane/sphere/quad blob inside the
+# BVH4 walk kernel, eliminating the XLA ps sweep + combine + attr epilogue
+# around mesh-scene scene_hit/scene_hit_any.  Builds on the attrs walk
+# (implies BVH_ATTRS semantics); same interpret-verified escape-hatch
+# pattern: PTRT_BVH_SCENE=0 reverts to the split path without code edits.
+BVH_SCENE = os.environ.get("PTRT_BVH_SCENE", "1") != "0"
+
+
+def _scene_fused_ok(cs) -> bool:
+    """The fused scene kernels need the BVH4 attrs walk, a nonempty
+    plane/sphere/quad table that fits the sweep's SMEM budget, and combined
+    blob headroom."""
+    from .intersect_pallas import SMEM_PRIM_LIMIT, ps_blob_layout
+
+    bvh = cs.bvh
+    if not (BVH_SCENE and BVH_ATTRS and bvh is not None and _quad_ok(bvh)):
+        return False
+    psq = cs.n_planes + cs.n_spheres + cs.n_quads
+    if not (0 < psq <= SMEM_PRIM_LIMIT):
+        return False
+    layout = ps_blob_layout(cs)
+    return (
+        int(bvh.quad_blob.shape[1]) + int(bvh.slot_blob.shape[1])
+        + layout.size <= SMEM_BLOB_LIMIT
+    )
 
 
 def _slab_key(lo3, hi3, ro: V3, rd: V3, far=None) -> jnp.ndarray:
@@ -1333,6 +1462,121 @@ def bvh_closest_attrs_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
     else:
         bt, bi, bu, bv, nx, ny, nz = run(ro, rd)
     return bt, bi, bu, bv, V3(nx, ny, nz)
+
+
+def bvh_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float, t_max: float):
+    """``(best_t, global_prim_idx, u, v, normal V3)`` for the WHOLE scene —
+    non-tri primitives swept in-kernel from the SMEM scene blob, triangles
+    via the seeded BVH4 attrs walk (see ``_bvh4_scene_closest_kernel``).
+    Returns ``None`` when the fused path is unavailable (caller falls back
+    to the split ps-sweep + attrs-walk path).  For triangle winners ``u, v``
+    are the raw barycentrics (caller interpolates texture uv)."""
+    if not _scene_fused_ok(cs):
+        return None
+    from .intersect_pallas import pack_ps_blob, ps_blob_layout
+
+    bvh = cs.bvh
+    n = ro.x.shape[0]
+    layout = ps_blob_layout(cs)
+    ps_blob = pack_ps_blob(cs)
+    gid_offset = cs.n_planes + cs.n_spheres + cs.n_quads
+
+    def run(o, d):
+        rows, block_rows = _blocks(n)
+        m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+        leaf_size = int(bvh.slots.shape[1])
+        spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        def rows2(a):
+            return a.reshape(rows, LANES)
+
+        f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+        i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+        outs = pl.pallas_call(
+            partial(_bvh4_scene_closest_kernel, m4, leaf_size, layout,
+                    gid_offset, float(t_min), float(t_max)),
+            grid=(rows // block_rows,),
+            in_specs=[smem, smem, smem] + [spec] * 6,
+            out_specs=[spec] * 7,
+            out_shape=[f32, i32, f32, f32, f32, f32, f32],
+            scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+        )(
+            bvh.quad_blob, bvh.slot_blob, ps_blob,
+            rows2(o.x), rows2(o.y), rows2(o.z),
+            rows2(d.x), rows2(d.y), rows2(d.z),
+        )
+        return tuple(a.reshape(n) for a in outs)
+
+    if _sort_enabled(n):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _k, sx, sy, sz, sdx, sdy, sdz, sidx = jax.lax.sort(
+            [_sort_key(bvh, ro, rd), ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, iota],
+            num_keys=1, is_stable=True,
+        )
+        bt, bi, bu, bv, nx, ny, nz = run(V3(sx, sy, sz), V3(sdx, sdy, sdz))
+        _i, bt, bi, bu, bv, nx, ny, nz = jax.lax.sort(
+            [sidx, bt, bi, bu, bv, nx, ny, nz], num_keys=1, is_stable=True
+        )
+    else:
+        bt, bi, bu, bv, nx, ny, nz = run(ro, rd)
+    return bt, bi, bu, bv, V3(nx, ny, nz)
+
+
+def bvh_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
+    """Whole-scene occlusion mask with per-lane ``limit`` in one kernel (see
+    ``_bvh4_scene_any_kernel``); ``None`` when the fused path is
+    unavailable."""
+    if not _scene_fused_ok(cs):
+        return None
+    from .intersect_pallas import pack_ps_blob, ps_blob_layout
+
+    bvh = cs.bvh
+    n = ro.x.shape[0]
+    layout = ps_blob_layout(cs)
+    ps_blob = pack_ps_blob(cs)
+
+    def run(o, d, lim):
+        rows, block_rows = _blocks(n)
+        assert block_rows * LANES < (1 << _PACK_FIELD), "packed counts overflow"
+        m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+        leaf_size = int(bvh.slots.shape[1])
+        spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        def rows2(a):
+            return a.reshape(rows, LANES)
+
+        found = pl.pallas_call(
+            partial(_bvh4_scene_any_kernel, m4, leaf_size, layout,
+                    float(t_min)),
+            grid=(rows // block_rows,),
+            in_specs=[smem, smem, smem] + [spec] * 7,
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+        )(
+            bvh.quad_blob, bvh.slot_blob, ps_blob,
+            rows2(o.x), rows2(o.y), rows2(o.z),
+            rows2(d.x), rows2(d.y), rows2(d.z),
+            rows2(lim),
+        )
+        return found.reshape(n)
+
+    limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
+    if _sort_enabled(n):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _k, sx, sy, sz, sdx, sdy, sdz, slim, sidx = jax.lax.sort(
+            [_sort_key(bvh, ro, rd), ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
+             limit_v, iota],
+            num_keys=1, is_stable=True,
+        )
+        found = run(V3(sx, sy, sz), V3(sdx, sdy, sdz), slim)
+        _i, found_u = jax.lax.sort([sidx, found], num_keys=1, is_stable=True)
+        return found_u > 0.5
+    return run(ro, rd, limit_v) > 0.5
 
 
 def bvh_closest_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):

@@ -77,17 +77,10 @@ def fits_smem(cs: CompiledScene) -> bool:
     )
 
 
-def pack_scene_blob(cs: CompiledScene) -> jnp.ndarray:
-    """Pack the primitive tables into the kernels' (1, K) f32 SMEM format.
-
-    Per-field contiguous: e.g. all plane anchor.x values, then anchor.y, …
-    so the kernel reads field ``f`` of primitive ``i`` at
-    ``base + f·count + i``.
-    """
-    p, s, q, t = cs.planes, cs.spheres, cs.quads, cs.triangles
-    e1 = t.v1 - t.v0
-    e2 = t.v2 - t.v0
-    parts = [
+def _ps_parts(cs: CompiledScene) -> list:
+    """Plane/sphere/quad field arrays in blob order (shared packer core)."""
+    p, s, q = cs.planes, cs.spheres, cs.quads
+    return [
         # planes (14 fields)
         p.anchor.x, p.anchor.y, p.anchor.z,
         p.normal.x, p.normal.y, p.normal.z,
@@ -102,6 +95,20 @@ def pack_scene_blob(cs: CompiledScene) -> jnp.ndarray:
         q.du.x, q.du.y, q.du.z,
         q.dv.x, q.dv.y, q.dv.z,
         q.uv0[0], q.uv0[1], q.uva[0], q.uva[1], q.uvb[0], q.uvb[1],
+    ]
+
+
+def pack_scene_blob(cs: CompiledScene) -> jnp.ndarray:
+    """Pack the primitive tables into the kernels' (1, K) f32 SMEM format.
+
+    Per-field contiguous: e.g. all plane anchor.x values, then anchor.y, …
+    so the kernel reads field ``f`` of primitive ``i`` at
+    ``base + f·count + i``.
+    """
+    t = cs.triangles
+    e1 = t.v1 - t.v0
+    e2 = t.v2 - t.v0
+    parts = _ps_parts(cs) + [
         # triangles (18 fields)
         t.v0.x, t.v0.y, t.v0.z,
         e1.x, e1.y, e1.z,
@@ -110,6 +117,24 @@ def pack_scene_blob(cs: CompiledScene) -> jnp.ndarray:
         t.uv0[0], t.uv0[1], t.uv1[0], t.uv1[1], t.uv2[0], t.uv2[1],
     ]
     return jnp.concatenate(parts)[None, :]
+
+
+def ps_blob_layout(cs: CompiledScene) -> BlobLayout:
+    """Layout of a planes+spheres+quads-only blob — the triangles live in
+    the BVH slot records, so the fused BVH scene kernels
+    (``bvh_pallas._bvh4_scene_*``) sweep only the non-triangle primitives
+    from this blob before/alongside the tree walk."""
+    P, S, Q = cs.n_planes, cs.n_spheres, cs.n_quads
+    pb = 0
+    sb = pb + 14 * P
+    qb = sb + 4 * S
+    tb = qb + 18 * Q
+    return BlobLayout(P, S, Q, 0, pb, sb, qb, tb, tb)
+
+
+def pack_ps_blob(cs: CompiledScene) -> jnp.ndarray:
+    """The planes+spheres+quads prefix of ``pack_scene_blob`` (no tris)."""
+    return jnp.concatenate(_ps_parts(cs))[None, :]
 
 
 def _sweep_prims(blob, layout: BlobLayout, rox, roy, roz, rdx, rdy, rdz,

@@ -9,6 +9,7 @@ import pytest
 import path_tracing__ray_tracer_tpu as ptrt
 from path_tracing__ray_tracer_tpu.compiler import compile_scene
 from path_tracing__ray_tracer_tpu.ops import intersect
+from path_tracing__ray_tracer_tpu.ops.bvh import build_bvh as _ORIG_BUILD_BVH
 from path_tracing__ray_tracer_tpu.ops.v3 import V3
 
 
@@ -240,13 +241,26 @@ def test_pack_blobs4_layout():
         assert tuple(r) in present
 
 
-def test_textured_tri_uv_through_attrs_walk(interpreted_pallas, tmp_path):
+def test_textured_tri_uv_through_attrs_walk(interpreted_pallas, tmp_path,
+                                            monkeypatch):
     """End-to-end ``scene_hit`` wiring check for the attrs walk on TEXTURED
     triangles: the kernel-supplied barycentrics must interpolate the same
     (u, v) as the XLA gather recompute (same winner => same uv), and
     ``tri_uv_used`` must be shape (1,) so the uv gate is actually on."""
+    from functools import partial
+
     import jax.numpy as jnp
     from PIL import Image
+
+    from path_tracing__ray_tracer_tpu.ops import bvh as bvh_mod
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    # pin the fused scene path off so this test exercises the attrs walk it
+    # is named for (the padded-dummy ps tables would otherwise engage the
+    # fused kernel); leaf 4 keeps the interpret compile cheap
+    monkeypatch.setattr(bp, "BVH_SCENE", False)
+    monkeypatch.setattr(bvh_mod, "build_bvh",
+                        partial(_ORIG_BUILD_BVH, leaf_size=4))
 
     png = tmp_path / "t.png"
     Image.fromarray(
@@ -273,6 +287,7 @@ def test_textured_tri_uv_through_attrs_walk(interpreted_pallas, tmp_path):
     assert cs.n_triangles == n_tris  # random soup must not quad-merge
 
     ro, rd = _rays(256, 54)
+    assert bp.bvh_closest_attrs_pallas(cs.bvh, ro, rd, 1e-3, 1e6) is not None
     hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
     intersect.USE_PALLAS = False
     hit_x = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
@@ -339,15 +354,23 @@ def test_bvh_closest_attrs_matches_gathers(interpreted_pallas):
 def test_bvh_attrs_hatch_off_matches_scene_hit(interpreted_pallas, monkeypatch):
     """The PTRT_BVH_ATTRS=0 escape hatch (BVH_ATTRS=False) must route
     ``scene_hit`` through the plain kernel + XLA gather recompute and land on
-    the same answer as the attrs walk (same winner => same t/normal/uv)."""
+    the same answer as the attrs walk (same winner => same t/normal/uv).
+    BVH_SCENE is pinned off so the comparison isolates the attrs hatch."""
+    from functools import partial
+
+    from path_tracing__ray_tracer_tpu.ops import bvh as bvh_mod
     from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
 
-    # small soup: the interpret-mode kernel's XLA CPU compile time grows
-    # steeply with tree size (64 tris ≈ minutes; 16 tris is cheap)
-    scene = _soup_scene(16, seed=61)
+    monkeypatch.setattr(bp, "BVH_SCENE", False)
+    # small leaves keep the interpret-mode kernel's XLA CPU compile cheap
+    # (leaf 16 unrolls ≈ minutes; leaf 4 ≈ tens of seconds)
+    monkeypatch.setattr(bvh_mod, "build_bvh",
+                        partial(_ORIG_BUILD_BVH, leaf_size=4))
+    scene = _soup_scene(48, seed=61)
     cs = compile_scene(scene, use_bvh=True)
     ro, rd = _rays(256, 62)
 
+    assert bp.bvh_closest_attrs_pallas(cs.bvh, ro, rd, 1e-3, 1e6) is not None
     hit_on = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
     monkeypatch.setattr(bp, "BVH_ATTRS", False)
     assert bp.bvh_closest_attrs_pallas(cs.bvh, ro, rd, 1e-3, 1e6) is None
@@ -363,6 +386,143 @@ def test_bvh_attrs_hatch_off_matches_scene_hit(interpreted_pallas, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(getattr(hit_on, name)),
             np.asarray(getattr(hit_off, name)), atol=1e-4)
+
+
+def _mixed_scene(n_tris, seed, monkeypatch, mat=None):
+    """Triangle soup + one plane + one sphere + one quad (two coplanar
+    rectangle triangles that the compiler merges), compiled with a SMALL
+    leaf size so the interpret-mode kernel's XLA CPU compile stays cheap
+    (leaf 16 unrolls ≈ minutes; leaf 4 ≈ tens of seconds)."""
+    from functools import partial
+
+    from path_tracing__ray_tracer_tpu.ops import bvh as bvh_mod
+
+    rng = np.random.default_rng(seed)
+    scene = ptrt.Scene()
+    mat = mat or ptrt.Material(ptrt.Vec3(0.7, 0.6, 0.5), diffuse=0.8)
+    for _ in range(n_tris):
+        a = rng.uniform(-10, 10, 3)
+        b = a + rng.uniform(-2, 2, 3)
+        c = a + rng.uniform(-2, 2, 3)
+        scene.add_object(ptrt.Triangle(
+            ptrt.Vec3(*a), ptrt.Vec3(*b), ptrt.Vec3(*c), material=mat))
+    scene.add_object(ptrt.Sphere(ptrt.Vec3(0, 0, 0), 2.0, mat))
+    scene.add_object(ptrt.Plane(
+        ptrt.Vec3(-11, -11, -11), ptrt.Vec3(0, 1, 0),
+        ptrt.Vec3(1, 0, 0), ptrt.Vec3(0, 0, 1), 22.0, 22.0, mat))
+    # axis-aligned rectangle -> quad-merged by the compiler
+    q = [ptrt.Vec3(-3, 6, -3), ptrt.Vec3(3, 6, -3),
+         ptrt.Vec3(3, 6, 3), ptrt.Vec3(-3, 6, 3)]
+    scene.add_object(ptrt.Triangle(q[0], q[1], q[2], material=mat,
+                                   uv0=(0, 0), uv1=(1, 0), uv2=(1, 1)))
+    scene.add_object(ptrt.Triangle(q[0], q[2], q[3], material=mat,
+                                   uv0=(0, 0), uv1=(1, 1), uv2=(0, 1)))
+    scene.add_light_sample(ptrt.Vec3(0, 20, 0))
+    monkeypatch.setattr(bvh_mod, "build_bvh",
+                        partial(_ORIG_BUILD_BVH, leaf_size=4))
+    return compile_scene(scene, use_bvh=True)
+
+
+def test_bvh_scene_fused_matches_split(interpreted_pallas, monkeypatch):
+    """The fused whole-scene closest kernel (ps sweep seeding the BVH4 attrs
+    walk, ``BVH_SCENE``) must agree bit-exactly with the split path
+    (XLA ps broadcast + attrs walk + combine epilogue) on every SceneHit
+    field, across plane/sphere/quad/triangle winners and misses."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    cs = _mixed_scene(48, 71, monkeypatch)
+    assert cs.n_planes == 1 and cs.n_spheres == 1 and cs.n_quads == 1
+    assert bp._scene_fused_ok(cs)
+    ro, rd = _rays(256, 72)
+
+    hit_f = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_SCENE", False)
+    hit_s = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_SCENE", True)
+
+    # every winner type must actually occur or the test proves nothing
+    prim = np.asarray(hit_f.prim)
+    psq = cs.n_planes + cs.n_spheres + cs.n_quads
+    assert (prim == 0).any() and ((0 < prim) & (prim < psq)).any() \
+        and (prim >= psq).any() and (prim < 0).any()
+
+    # same winner everywhere; per-field float tolerance matches the other
+    # interpret-mode kernel-vs-XLA tests (CPU interpret compiles fuse the
+    # two formulations differently; bit-exactness is verified on TPU)
+    np.testing.assert_array_equal(prim, np.asarray(hit_s.prim))
+    np.testing.assert_allclose(np.asarray(hit_f.t), np.asarray(hit_s.t),
+                               rtol=1e-5)
+    for name in ("u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_f, name)),
+            np.asarray(getattr(hit_s, name)), atol=1e-4)
+    for c in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_f.normal, c)),
+            np.asarray(getattr(hit_s.normal, c)), atol=1e-5)
+
+    # the sorted wrapper path must be bit-identical too (sorting only
+    # reorders kernel blocks; per-lane results are exact)
+    monkeypatch.setattr(bp, "_SORT_MIN_ROWS", 2)
+    got = bp.bvh_scene_closest_pallas(cs, ro, rd, 1e-3, 1e6)
+    np.testing.assert_array_equal(np.asarray(got[1]), prim)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(hit_f.t))
+
+
+def test_bvh_scene_fused_textured_uv(interpreted_pallas, monkeypatch, tmp_path):
+    """Fused path on a TEXTURED-triangle scene: ``_fused_scene_hit`` must
+    interpolate per-triangle uv from the kernel's barycentrics exactly like
+    the split path's epilogue (``tri_uv_used`` shape (1,) => gate on)."""
+    from PIL import Image
+
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    png = tmp_path / "t.png"
+    Image.fromarray(
+        (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5)).save(png)
+    tex = ptrt.Texture(str(png))
+    mat = ptrt.Material(ptrt.Vec3(0.7, 0.6, 0.5), diffuse=0.8, texture=tex)
+
+    cs = _mixed_scene(48, 91, monkeypatch, mat=mat)
+    assert cs.tri_uv_used is not None and cs.tri_uv_used.shape == (1,)
+    assert bp._scene_fused_ok(cs)
+    ro, rd = _rays(256, 92)
+
+    hit_f = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_SCENE", False)
+    hit_s = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+
+    prim = np.asarray(hit_f.prim)
+    assert (prim >= cs.n_planes + cs.n_spheres + cs.n_quads).any()
+    np.testing.assert_array_equal(prim, np.asarray(hit_s.prim))
+    for name in ("u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_f, name)),
+            np.asarray(getattr(hit_s, name)), atol=1e-4)
+
+
+def test_bvh_scene_fused_any_matches_split(interpreted_pallas, monkeypatch):
+    """The fused whole-scene occlusion kernel must agree with the split path
+    (XLA ps any + BVH any-walk OR) for live, bounded, and parked lanes."""
+    from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas as bp
+
+    cs = _mixed_scene(48, 81, monkeypatch)
+    assert bp._scene_fused_ok(cs)
+    n = 256
+    ro, rd = _rays(n, 82)
+    rng = np.random.default_rng(83)
+    lim = rng.uniform(0.5, 30, n).astype(np.float32)
+    import jax.numpy as jnp
+
+    lim[::7] = -1.0  # parked don't-care lanes
+    lim_j = jnp.asarray(lim)
+
+    occ_f = intersect.scene_hit_any(cs, ro, rd, 1e-3, lim_j)
+    monkeypatch.setattr(bp, "BVH_SCENE", False)
+    occ_s = intersect.scene_hit_any(cs, ro, rd, 1e-3, lim_j)
+    monkeypatch.setattr(bp, "BVH_SCENE", True)
+    np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_s))
+    assert np.asarray(occ_f)[::7].all(), "parked lanes report occluded"
 
 
 def test_bvh_any_dont_care_lanes(interpreted_pallas):
