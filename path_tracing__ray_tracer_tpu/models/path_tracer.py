@@ -56,6 +56,11 @@ _U_JITX, _U_JITY = 0, 1
 # glass event mixture (cuda_path_tracer.py:323-326)
 _P_REFRACT, _P_REFLECT, _P_DIFFUSE = 0.6, 0.25, 0.15
 
+# Measurement probe: when True, _regen_chunk returns (sums, phase1_iters,
+# phase2_iters) so experiments can attribute end-to-end chunk time to loop
+# iterations (experiments/measure_cfg5_loop.py).  Never set in production.
+_PROBE_ITERS = False
+
 # Shuffled work assignment in the regeneration scheduler (see _regen_chunk).
 # Shuffling equalizes lane workloads (2.1x on the Cornell bench).  Measured
 # on the 11.5K-tri mesh scene with the Pallas BVH walk: the weakened
@@ -580,6 +585,7 @@ def _regen_chunk(
         return st, new, it + 1
 
     _st, acc, _it2 = jax.lax.while_loop(cond2, body2, (st_t, acc, jnp.int32(0)))
+    probe = (_it, _it2) if _PROBE_ITERS else None
 
     # ---- resolve deferred base₀ (ONE bulk gather per chunk) -----------------
     if defer:
@@ -604,6 +610,8 @@ def _regen_chunk(
             jnp.roll(rows[1][si], shift),
             jnp.roll(rows[2][si], shift),
         )
+    if probe is not None:
+        return out, probe[0], probe[1]
     return out
 
 

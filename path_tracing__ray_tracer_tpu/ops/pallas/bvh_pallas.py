@@ -614,6 +614,18 @@ def _bvh_any_ordered_kernel(
 
 # packed dual-count reductions need every per-child count < 2^13
 _PACK_FIELD = 13
+# ONE cross-lane reduction per pop instead of two: reduce each child's hit
+# mask over the sublane axis first ((R,128) -> (1,128) row-any, pure vector
+# work), then pack the four row-any bits into BYTE fields of one int32 lane
+# vector and cross-lane-sum once — per-child counts are <= 128 so four
+# 8-bit fields fit int32 exactly.  The vector->scalar reduction is the
+# measured per-pop bottleneck (BENCHMARKS.md); this halves its count again
+# after BVH4 halved it once.  MEASURED FLAT on v5e (experiments/
+# measure_breduce.py, clean reps: dual 29.9/28.4 vs byte 30.9/28.0 Mrays/s
+# closest/any, exact match 1.0) — the sublane half of the reduction is not
+# the serialized cost, and post-BVH4 the walk is leaf-dominated anyway.
+# Kept gated off as the recorded negative result.
+BVH_BYTE_REDUCE = False
 # ONE bitwise-OR reduction (4 any-bits in one int32) instead of TWO packed
 # sum-reductions per pop.  UNSUPPORTED on the current toolchain: Mosaic has
 # no lowering for ``lax.reduce`` (NotImplementedError: "Unimplemented
@@ -651,6 +663,23 @@ def _quad_pop_common(tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far):
         r = jax.lax.reduce(bits, jnp.int32(0), jax.lax.bitwise_or,
                            tuple(range(bits.ndim)))
         anyc = ((r & 1) > 0, (r & 2) > 0, (r & 4) > 0, (r & 8) > 0)
+    elif BVH_BYTE_REDUCE:
+        # row-any per child (sublane reduction, vector work), then one
+        # cross-lane sum of four byte-packed fields (counts <= 128 rows of
+        # lanes... <= 128 lanes, each contributing 0/1 per field)
+        packed = (
+            jnp.any(hits[0], axis=0, keepdims=True).astype(jnp.int32)
+            + jnp.any(hits[1], axis=0, keepdims=True).astype(jnp.int32) * (1 << 8)
+            + jnp.any(hits[2], axis=0, keepdims=True).astype(jnp.int32) * (1 << 16)
+            + jnp.any(hits[3], axis=0, keepdims=True).astype(jnp.int32) * (1 << 24)
+        )
+        s = jnp.sum(packed)
+        anyc = (
+            (s & 0xFF) > 0,
+            ((s >> 8) & 0xFF) > 0,
+            ((s >> 16) & 0xFF) > 0,
+            ((s >> 24) & 0xFF) > 0,
+        )
     else:
         one = jnp.int32(1)
         shift = jnp.int32(1 << _PACK_FIELD)
