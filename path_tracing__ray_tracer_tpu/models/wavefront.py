@@ -396,6 +396,86 @@ class WavefrontRenderer(BaseRenderer):
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
+    def _render_device_u8(self, scene, camera, settings):
+        """Multi-dispatch render with DEVICE-resident accumulation: each chunk's
+        sums scatter into a device buffer (async, no host bounce), then ONE
+        fused finalize+quantize dispatch transfers only the uint8 image.
+
+        The unfused path moves the f32 sums host→device→host→device→host
+        around finalize/quantize — ~75 MB of tunnel traffic for a 1080p
+        render, measured ~6 s of the config-5 render (BENCHMARKS.md round 3).
+        Per-pixel accumulation order is identical to the host path (each
+        pixel belongs to one chunk; groups add in the same sequence), so the
+        image is bit-identical.  Returns the (H*W, 3) uint8 host array, or
+        None when this render should use another path (mesh sharding and
+        progress-printing renderers keep the host loop)."""
+        if self.mesh is not None or not self.gpu_parity or self.progress_label:
+            return None
+        w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+        cs = self.compiled(scene)
+        chunk_fn, n_pix, group = self._plan(w, h, spp, settings.max_depth)
+        pix0_list = list(range(0, w * h, n_pix))
+        if len(pix0_list) <= 1:
+            return None  # single chunk: the fused-u8 path already covers it
+        if self._dispatch_batch(cs, n_pix, spp, settings.max_depth,
+                                len(pix0_list)) > 1:
+            return None  # small floor-bound renders keep the batched lax.map
+        log_event(
+            "render_start",
+            renderer=self.name,
+            width=w,
+            height=h,
+            spp=spp,
+            max_depth=settings.max_depth,
+            chunk_pixels=n_pix,
+            sample_group=group,
+            chunks=len(pix0_list),
+            fused="device_sums",
+        )
+        pad = len(pix0_list) * n_pix
+
+        key_acc = ("dev_acc", id(chunk_fn), n_pix, group)
+        if key_acc not in self._jit_cache:
+            def acc_step(buf, cs_, cam12_, pix0, seed, s0):
+                out = chunk_fn(cs_, cam12_, pix0, seed, s0)
+                return jax.lax.dynamic_update_slice(
+                    buf, out.to_array(), (pix0, jnp.int32(0))
+                )
+
+            self._jit_cache[key_acc] = jax.jit(acc_step, donate_argnums=(0,))
+
+        key_add = ("dev_add", id(chunk_fn), n_pix, group)
+        if key_add not in self._jit_cache:
+            def add_step(buf, cs_, cam12_, pix0, seed, s0):
+                out = chunk_fn(cs_, cam12_, pix0, seed, s0)
+                cur = jax.lax.dynamic_slice(buf, (pix0, jnp.int32(0)), (n_pix, 3))
+                return jax.lax.dynamic_update_slice(
+                    buf, cur + out.to_array(), (pix0, jnp.int32(0))
+                )
+
+            self._jit_cache[key_add] = jax.jit(add_step, donate_argnums=(0,))
+
+        key_fin = ("dev_fin", w, h, spp, settings.max_depth)
+        if key_fin not in self._jit_cache:
+            def fin(buf):
+                img = self._finalize_dev(buf[: w * h], spp, settings)
+                return quantize_u8(V3.from_array(img)).to_array()
+
+            self._jit_cache[key_fin] = jax.jit(fin)
+
+        with self._device_scope():
+            cam12 = pack_camera(camera)
+            buf = jnp.zeros((pad, 3), jnp.float32)
+            for pix0 in pix0_list:
+                for gi, s0 in enumerate(range(0, spp, group)):
+                    step = self._jit_cache[key_acc if gi == 0 else key_add]
+                    buf = step(
+                        buf, cs, cam12, jnp.int32(pix0),
+                        jnp.uint32(self.seed), jnp.int32(s0),
+                    )
+            arr = np.asarray(self._jit_cache[key_fin](buf))
+        return arr
+
     def render_array(self, scene: Scene, camera: Camera, settings: RenderSettings) -> np.ndarray:
         """Float image in [0,1], shape (H*W, 3), bottom-up row order."""
         sums = self.render_sums(scene, camera, settings)
@@ -404,6 +484,8 @@ class WavefrontRenderer(BaseRenderer):
     def render(self, scene: Scene, camera: Camera, settings: RenderSettings):
         with Timer() as t:
             arr = self._render_fused_u8(scene, camera, settings)
+            if arr is None:
+                arr = self._render_device_u8(scene, camera, settings)
             if arr is None:
                 img = self.render_array(scene, camera, settings)
                 rgb = quantize_u8(V3.from_array(jnp.asarray(img)))
