@@ -124,6 +124,13 @@ class CompiledScene(NamedTuple):
     # gathers when nothing reads them (mesh scenes; measured in
     # BENCHMARKS.md round 3).  None (hand-built scenes) = assume textured.
     tri_uv_used: jnp.ndarray = None
+    # same encoding for "ANY primitive is textured": (0,) lets
+    # resolve_base_color return the material color without the per-lane
+    # atlas gather — on an untextured scene that gather still pays the flat
+    # ~7 ns/lane HLO-gather floor per bounce against the 1-texel dummy
+    # atlas (pure waste; measured in BENCHMARKS.md round 3).  None
+    # (hand-built scenes) = assume textured.
+    any_textured: jnp.ndarray = None
 
     @property
     def n_planes(self) -> int:
@@ -451,6 +458,7 @@ def compile_scene(
 
     return CompiledScene(
         tri_uv_used=jnp.zeros((1 if tri_textured else 0,), jnp.int8),
+        any_textured=jnp.zeros((1 if bool(np.any(has_tex > 0.0)) else 0,), jnp.int8),
         bvh=flat_bvh,
         planes=planes_soa,
         spheres=spheres_soa,

@@ -61,6 +61,13 @@ _P_REFRACT, _P_REFLECT, _P_DIFFUSE = 0.6, 0.25, 0.15
 # iterations (experiments/measure_cfg5_loop.py).  Never set in production.
 _PROBE_ITERS = False
 
+# Phase-1 → phase-2 cutover: phase 1 ends once at most N // _TAIL_DIV lanes
+# are unfinished (rounded up to a 1024-lane width).  Bigger divisors keep
+# phase 1 running longer at full width; smaller ones hand stragglers to the
+# compact tail earlier.  Read at trace time; sweep knob for experiments
+# (results are bit-identical for any value — see the phase-2 docstring).
+_TAIL_DIV = 64
+
 # Shuffled work assignment in the regeneration scheduler (see _regen_chunk).
 # Shuffling equalizes lane workloads (2.1x on the Cornell bench).  Measured
 # on the 11.5K-tri mesh scene with the Pallas BVH walk: the weakened
@@ -523,7 +530,7 @@ def _regen_chunk(
         return (cA.x, cA.y, cA.z) + ((cB.x, cB.y, cB.z) if defer else ())
 
     # ---- phase 1: full width, one-hot accumulation into (NS, N) ------------
-    tail = min(-(-max(1024, N // 64) // 1024) * 1024, N)
+    tail = min(-(-max(1024, N // _TAIL_DIV) // 1024) * 1024, N)
     item_rows = jax.lax.broadcasted_iota(jnp.int32, (NS, N), 0)
 
     def cond1(carry):

@@ -49,6 +49,11 @@ def sample_atlas(cs: CompiledScene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.
 def resolve_base_color(cs: CompiledScene, mat_color: V3, has_tex, tex_id, u, v) -> V3:
     """Texture sample where textured, material color elsewhere
     (``cuda_texture_renderer.py:206-219``)."""
+    if cs.any_textured is not None and cs.any_textured.shape[0] == 0:
+        # no textured primitive in the scene: ``has_tex`` is all-zero, so
+        # the select below is identically ``mat_color`` — skip the atlas
+        # gather entirely (flat ~7 ns/lane even on the 1-texel dummy atlas)
+        return mat_color
     textured = has_tex > 0.5
     sampled = sample_atlas(cs, jnp.where(textured, tex_id, -1), u, v)
     return V3.where(textured, sampled, mat_color)
