@@ -67,3 +67,37 @@ def test_uv_clamped(cornell):
         ).to_array()
     )
     assert np.isfinite(got).all() and (got >= 0).all() and (got <= 1).all()
+
+
+def test_untextured_resolve_gate_matches_ungated():
+    """``any_textured`` shape (0,) short-circuits resolve_base_color to the
+    material color; forcing the gate off (None flag) must give the same
+    answer, because ``has_tex`` is all-zero on an untextured scene."""
+    from path_tracing__ray_tracer_tpu.core import Material, Scene, Sphere
+    from path_tracing__ray_tracer_tpu.ops.intersect import gather_material
+    from path_tracing__ray_tracer_tpu.ops.texture import resolve_base_color
+    from path_tracing__ray_tracer_tpu.ops.v3 import V3
+
+    scene = Scene()
+    scene.add_object(Sphere(Vec3(0, 0, 0), 1.0,
+                            Material(color=Vec3(0.2, 0.5, 0.8), diffuse=0.7)))
+    cs = compile_scene(scene)
+    assert cs.any_textured is not None and cs.any_textured.shape == (0,)
+
+    rng = np.random.default_rng(3)
+    n = 32
+    prim = jnp.full(n, cs.n_planes, jnp.int32)  # sphere follows the padded planes
+    mats = gather_material(cs.materials, prim)
+    (mcolor, *_rest, has_tex, tex_id) = mats
+    u = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+
+    gated = resolve_base_color(cs, mcolor, has_tex, tex_id, u, v)
+    ungated = resolve_base_color(
+        cs._replace(any_textured=None), mcolor, has_tex, tex_id, u, v
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gated.to_array()), np.asarray(ungated.to_array())
+    )
+    np.testing.assert_allclose(np.asarray(gated.to_array()),
+                               np.tile([0.2, 0.5, 0.8], (n, 1)), rtol=1e-6)
