@@ -57,12 +57,14 @@ def run_config(idx: int, scale: float) -> dict:
         # shadow_tmax="light" bounds NEE occlusion at the light (this scene
         # is not a reference-parity target; the 1e6 quirk would force the
         # any-walk to scan the whole unbounded shadow ray).
-        # sample_group 16 / chunk 1<<21 (same 131072-lane width, half the
-        # dispatches and phase-2 tail overhangs): measured 49.6 s vs 54.8 s
-        # steady at group 8 / 1<<20 (round 3, experiments/measure_cfg5_fix.py)
+        # sample_group 64 / chunk 1<<23 (same 131072-lane width; group sweep
+        # measured steady 54.8/49.6/39.3/37.8 s at groups 8/16/32/64 — the
+        # bigger groups amortize dispatches and phase-2 tail overhangs;
+        # ~2.4 s per dispatch stays well under the worker watchdog).
+        # Round 3: experiments/measure_cfg5_fix.py, measure_r3_batch.py.
         5: ("tpu_path_raytracer", MeshSceneBuilder(grid=3, subdivisions=3),
             dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
-            dict(sample_group=16, chunk_rays=1 << 21, shadow_tmax="light",
+            dict(sample_group=64, chunk_rays=1 << 23, shadow_tmax="light",
                  compile_overrides={"use_bvh": True})),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]
