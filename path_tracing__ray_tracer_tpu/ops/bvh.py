@@ -38,6 +38,13 @@ from .v3 import V3
 # 55/49 (experiments/measure_bvh4.py).
 LEAF_SIZE = 16
 _SAH_BINS = 16
+# candidate split axes per node: 1 = largest centroid-extent axis only
+# (round-1 builder, matches native/bvh_builder.cpp), 3 = evaluate all three
+# axes and take the global minimum SAH cost.  Walk-simulated on the 11.5K-tri
+# mesh (sim_traversal, subtree+octant+morton key): 3-axis trades pops −4%
+# for leaf visits +1% — net flat, so the default stays 1 and the native
+# builder needs no port (recorded negative, round 3).
+SAH_AXES = 1
 
 
 class FlatBVH(NamedTuple):
@@ -79,21 +86,23 @@ def _build_tree(tri_min, tri_max, centroids, idx, leaf_size) -> _Node:
         return _Node(lo, hi, prims=idx)
 
     c = centroids[idx]
-    axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-    cmin, cmax = float(c[:, axis].min()), float(c[:, axis].max())
+    major = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+    axes = (major,) if SAH_AXES == 1 else (0, 1, 2)
+
+    def half_area(a, b):
+        d = np.maximum(b - a, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
 
     left_idx = right_idx = None
-    if cmax - cmin > 1e-12:
+    best_cost = np.inf
+    for axis in axes:
+        cmin, cmax = float(c[:, axis].min()), float(c[:, axis].max())
+        if cmax - cmin <= 1e-12:
+            continue
         bins = np.minimum(
             ((c[:, axis] - cmin) / (cmax - cmin) * _SAH_BINS).astype(np.int32),
             _SAH_BINS - 1,
         )
-
-        def half_area(a, b):
-            d = np.maximum(b - a, 0.0)
-            return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
-
-        best_cost = np.inf
         for split in range(1, _SAH_BINS):
             mask = bins < split
             nl = int(mask.sum())
@@ -109,7 +118,7 @@ def _build_tree(tri_min, tri_max, centroids, idx, leaf_size) -> _Node:
                 left_idx, right_idx = idx[mask], idx[~mask]
 
     if left_idx is None:  # degenerate spread → stable median split
-        order = np.argsort(c[:, axis], kind="stable")
+        order = np.argsort(c[:, major], kind="stable")
         half = len(idx) // 2
         left_idx, right_idx = idx[order[:half]], idx[order[half:]]
 
