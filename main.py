@@ -94,8 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--chunk-rays",
         type=int,
-        default=1 << 20,
-        help="ray-batch budget per device step",
+        default=None,
+        help=(
+            "ray-batch budget per device step (default: 1<<23 for the path "
+            "tracer, 1<<21 otherwise — the measured optima, BENCHMARKS.md)"
+        ),
     )
     parser.add_argument(
         "--progressive",
@@ -155,8 +158,12 @@ def main(argv=None) -> int:
     camera = builder.create_camera(args.width / args.height)
 
     print(f"Creating renderer: {args.renderer}")
+    resolved_name = RendererFactory.resolve(args.renderer)
+    chunk_rays = args.chunk_rays
+    if chunk_rays is None:
+        chunk_rays = 1 << 23 if resolved_name == "tpu_path_raytracer" else 1 << 21
     kwargs = {
-        "chunk_rays": args.chunk_rays,
+        "chunk_rays": chunk_rays,
         "seed": args.seed,
         "texture_budget": args.texture_budget,
     }

@@ -674,9 +674,13 @@ def _path_chunk(
 class TPUPathTracer(WavefrontRenderer):
     """Parity renderer for ``cuda_path_raytracer`` — the flagship model."""
 
-    def __init__(self, sample_group: int = 32, jitter: str = "independent",
+    def __init__(self, sample_group: int = 64, jitter: str = "independent",
                  shadow_tmax: str = "reference", mip_budget: int = 0,
                  texture_lod: int = 0, texture_lod_depth: int = 2, **kw):
+        # sample_group 64: the measured knee of the group sweep on BOTH the
+        # Cornell bench (64/32/16/8 -> 219/191/188/156 Mrays/s) and the mesh
+        # benchmark (groups 8/16/32/64 -> 54.8/49.6/39.3/37.8 s steady) —
+        # bigger groups amortize dispatch overhead and regeneration tails.
         # independent x/y jitter by default: strictly better sampling, and the
         # reference hero image is a missing blob so there is no RMSE target
         # (BASELINE.md); pass jitter="diagonal" for the quirk-exact stream.
