@@ -46,6 +46,16 @@ from .base import BaseRenderer
 # floor-bound anyway — they skip batching via the ray target).
 _DISPATCH_TARGET_RAYS = 64_000_000
 _DISPATCH_BATCH_MAX = 32
+# Device-sums group batching: when one pixel chunk's FULL sample loop stays
+# under this ray budget (and the scene has no BVH — tree walks run ~5-20×
+# slower per ray), _render_device_u8 drives all of a chunk's sample groups
+# with ONE dispatch (fori_loop inside the step) instead of one dispatch per
+# group.  Measured motivation (round 3): each dispatch pays ~0.2-0.35 s of
+# tunnel overhead even when donation-chained, so the 1024-spp Cornell hero
+# (8 chunks × 16 groups) spent ~26 s of its 71.6 s on dispatch overhead.
+# 1.5G rays ≈ 6 s of Cornell-speed compute per executable — well under the
+# worker watchdog (the oracle runs 10 s executables).
+_DEVICE_SUMS_TARGET_RAYS = 1_500_000_000
 
 
 def pixel_coords(pix0, n_pix: int, width: int, height: int):
@@ -434,18 +444,44 @@ class WavefrontRenderer(BaseRenderer):
         )
         pad = len(pix0_list) * n_pix
 
-        key_acc = ("dev_acc", id(chunk_fn), n_pix, group)
+        # group batching: one dispatch per chunk when the full sample loop
+        # fits the per-executable ray budget (see _DEVICE_SUMS_TARGET_RAYS).
+        # The fori accumulates groups in the same ascending order as the
+        # per-group host loop, so the image stays bit-identical.
+        n_groups = -(-spp // group)
+        fuse_groups = (
+            n_groups > 1
+            and getattr(cs, "bvh", None) is None
+            and n_pix * spp * settings.max_depth <= _DEVICE_SUMS_TARGET_RAYS
+        )
+
+        key_acc = ("dev_acc", id(chunk_fn), n_pix, group, fuse_groups)
         if key_acc not in self._jit_cache:
-            def acc_step(buf, cs_, cam12_, pix0, seed, s0):
-                out = chunk_fn(cs_, cam12_, pix0, seed, s0)
-                return jax.lax.dynamic_update_slice(
-                    buf, out.to_array(), (pix0, jnp.int32(0))
-                )
+            if fuse_groups:
+                def acc_step(buf, cs_, cam12_, pix0, seed, s0):
+                    acc = chunk_fn(cs_, cam12_, pix0, seed, s0)
+
+                    def body(i, a):
+                        return jax.tree.map(
+                            jnp.add, a,
+                            chunk_fn(cs_, cam12_, pix0, seed, s0 + i * group),
+                        )
+
+                    acc = jax.lax.fori_loop(1, n_groups, body, acc)
+                    return jax.lax.dynamic_update_slice(
+                        buf, acc.to_array(), (pix0, jnp.int32(0))
+                    )
+            else:
+                def acc_step(buf, cs_, cam12_, pix0, seed, s0):
+                    out = chunk_fn(cs_, cam12_, pix0, seed, s0)
+                    return jax.lax.dynamic_update_slice(
+                        buf, out.to_array(), (pix0, jnp.int32(0))
+                    )
 
             self._jit_cache[key_acc] = jax.jit(acc_step, donate_argnums=(0,))
 
         key_add = ("dev_add", id(chunk_fn), n_pix, group)
-        if key_add not in self._jit_cache:
+        if not fuse_groups and key_add not in self._jit_cache:
             def add_step(buf, cs_, cam12_, pix0, seed, s0):
                 out = chunk_fn(cs_, cam12_, pix0, seed, s0)
                 cur = jax.lax.dynamic_slice(buf, (pix0, jnp.int32(0)), (n_pix, 3))
@@ -467,6 +503,12 @@ class WavefrontRenderer(BaseRenderer):
             cam12 = pack_camera(camera)
             buf = jnp.zeros((pad, 3), jnp.float32)
             for pix0 in pix0_list:
+                if fuse_groups:
+                    buf = self._jit_cache[key_acc](
+                        buf, cs, cam12, jnp.int32(pix0),
+                        jnp.uint32(self.seed), jnp.int32(0),
+                    )
+                    continue
                 for gi, s0 in enumerate(range(0, spp, group)):
                     step = self._jit_cache[key_acc if gi == 0 else key_add]
                     buf = step(
