@@ -68,6 +68,16 @@ _PROBE_ITERS = False
 # (results are bit-identical for any value — see the phase-2 docstring).
 _TAIL_DIV = 64
 
+# Phase-1 accumulator fold cadence.  The (NS, N) accumulator is ~100 MB at
+# the bench shapes; reading+writing it every iteration is pure HBM traffic
+# (~0.25 ms of the measured 1.80 ms iteration, measure_hl_probe).  A lane
+# finishes at most ONE item per iteration and each (item, lane) cell receives
+# exactly one total contribution, so the loop instead carries a per-lane
+# running path sum, parks finished items in _FOLD_EVERY pending slot rows,
+# and folds them into the accumulator once per _FOLD_EVERY iterations —
+# bit-identical (the per-cell addition tree is unchanged: 0 + x == x).
+_FOLD_EVERY = 8
+
 # Shuffled work assignment in the regeneration scheduler (see _regen_chunk).
 # Shuffling equalizes lane workloads (2.1x on the Cornell bench).  Measured
 # on the 11.5K-tri mesh scene with the Pallas BVH walk: the weakened
@@ -512,7 +522,7 @@ def _regen_chunk(
             st2 = (o, d, thr, key, depth, s2, e2, b0m2)
         else:
             st2 = (o, d, thr, key, depth, s2)
-        return st2, cA, cB, idx0, defer_now, s
+        return st2, cA, cB, idx0, defer_now, s, done
 
     lane = jnp.arange(N, dtype=jnp.int32)
     o0, d0, key0 = make_ray(lane, jnp.zeros((N,), jnp.int32))
@@ -529,29 +539,82 @@ def _regen_chunk(
     def chans(cA, cB):
         return (cA.x, cA.y, cA.z) + ((cB.x, cB.y, cB.z) if defer else ())
 
-    # ---- phase 1: full width, one-hot accumulation into (NS, N) ------------
+    # ---- phase 1: full width, slot-buffered accumulation into (NS, N) ------
     tail = min(-(-max(1024, N // _TAIL_DIV) // 1024) * 1024, N)
     item_rows = jax.lax.broadcasted_iota(jnp.int32, (NS, N), 0)
 
-    def cond1(carry):
-        st, _acc, it = carry
-        return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
+    if defer:
+        # deferred-texture mode (gated off by default) keeps the simple
+        # per-iteration one-hot fold: its extra idx0/cB bookkeeping is per-
+        # bounce, and the mode is a recorded negative, not a perf path
+        def cond1(carry):
+            st, _acc, it = carry
+            return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
 
-    def body1(carry):
-        st, acc, it = carry
-        st, cA, cB, idx0, dmask, item = bounce_step(lane, st)
-        hit_row = item_rows == item[None, :]
-        new = tuple(
-            a + jnp.where(hit_row, c[None, :], 0.0)
-            for a, c in zip(acc, chans(cA, cB))
-        )
-        if defer:
+        def body1(carry):
+            st, acc, it = carry
+            st, cA, cB, idx0, dmask, item, _done = bounce_step(lane, st)
+            hit_row = item_rows == item[None, :]
+            new = tuple(
+                a + jnp.where(hit_row, c[None, :], 0.0)
+                for a, c in zip(acc, chans(cA, cB))
+            )
             new = new + (
                 acc[-1] + jnp.where(hit_row & dmask[None, :], idx0[None, :], 0),
             )
-        return st, new, it + 1
+            return st, new, it + 1
 
-    st1, acc, _it = jax.lax.while_loop(cond1, body1, (state0, acc0, jnp.int32(0)))
+        st1, acc, _it = jax.lax.while_loop(
+            cond1, body1, (state0, acc0, jnp.int32(0))
+        )
+        psum1 = None
+    else:
+        # K-slot fold (module note at _FOLD_EVERY): the loop carries a per-
+        # lane running path sum; a finishing lane parks (item, sum) in slot
+        # row (k) and the (NS, N) accumulator is touched once per K bounces.
+        # Bit-identical to the per-iteration fold: every (item, lane) cell
+        # receives exactly one add, and the within-item chain is unchanged.
+        K = _FOLD_EVERY
+        zeroN = V3.full(0.0, (N,))
+
+        def cond1(carry):
+            st, _acc, _psum, it = carry
+            return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
+
+        def body1(carry):
+            st, acc, psum, it = carry
+            slot_item0 = jnp.full((K, N), NS, jnp.int32)
+            slot_val0 = V3.full(0.0, (K, N))
+
+            def step(k, c):
+                st, psum, s_item, s_val, it = c
+                st, cA, _cB, _i0, _dm, item, done = bounce_step(lane, st)
+                psum = psum + cA
+                s_item = s_item.at[k].set(jnp.where(done, item, NS))
+                s_val = V3(
+                    s_val.x.at[k].set(jnp.where(done, psum.x, 0.0)),
+                    s_val.y.at[k].set(jnp.where(done, psum.y, 0.0)),
+                    s_val.z.at[k].set(jnp.where(done, psum.z, 0.0)),
+                )
+                psum = V3.where(done, zeroN, psum)
+                return st, psum, s_item, s_val, it + 1
+
+            st, psum, s_item, s_val, it = jax.lax.fori_loop(
+                0, K, step, (st, psum, slot_item0, slot_val0, it)
+            )
+            # distinct slots hold distinct items per lane, so the K one-hot
+            # rows never overlap; the accumulator is read+written once here
+            adds = [jnp.float32(0.0)] * 3
+            for k in range(K):
+                hit_row = item_rows == s_item[k][None, :]
+                for c, ch in enumerate((s_val.x, s_val.y, s_val.z)):
+                    adds[c] = adds[c] + jnp.where(hit_row, ch[k][None, :], 0.0)
+            acc = tuple(a + add for a, add in zip(acc, adds))
+            return st, acc, psum, it
+
+        st1, acc, psum1, _it = jax.lax.while_loop(
+            cond1, body1, (state0, acc0, zeroN, jnp.int32(0))
+        )
     o, d, thr, key, depth, s = st1[:6]
 
     # ---- phase 2: compact the ≤ tail stragglers, finish at low width --------
@@ -568,6 +631,15 @@ def _regen_chunk(
     )
     if defer:
         st_t = st_t + (st1[6][sel], st1[7].take(sel))
+    else:
+        # flush the carried mid-item path sums into their cells; phase 2
+        # then keeps adding per-bounce — the per-cell chain stays sequential
+        psum_t = psum1.take(sel)
+        item_cur = st_t[5]
+        acc = tuple(
+            a.at[item_cur, sel].add(jnp.where(valid, c, 0.0), mode="drop")
+            for a, c in zip(acc, (psum_t.x, psum_t.y, psum_t.z))
+        )
 
     def cond2(carry):
         st, _acc, it = carry
@@ -575,7 +647,7 @@ def _regen_chunk(
 
     def body2(carry):
         st, acc, it = carry
-        st, cA, cB, idx0, dmask, item = bounce_step(sel, st)
+        st, cA, cB, idx0, dmask, item, _done = bounce_step(sel, st)
         # contributions scatter straight into the phase-1 accumulator rows,
         # preserving per-item (sample, depth) addition order exactly
         item_safe = jnp.where(valid, item, NS)  # out of range → dropped
