@@ -4,10 +4,31 @@ single vector gather into the packed-int32 atlas.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..compiler import CompiledScene
 from .v3 import V3
+
+# Compacted per-bounce gather — built, bit-exact, and a MEASURED LOSS; kept
+# gated off as the fourth recorded negative on the texture-gather front
+# (after defer/LOD/MXU-mip — BENCHMARKS.md).  Idea: only the textured-hit
+# lanes (12–21% on the Cornell bench scene, experiments/measure_texfrac.py)
+# need a texel, so stable-sort them to the front, gather ONE static prefix
+# of N/TEX_COMPACT_DIV elements, and index-sort the texels back; a lax.cond
+# falls back to the full-width gather when the count overflows the prefix
+# (bit-identical either way).  Measured at the honest bench config
+# (experiments/measure_compact.py, 1024² d8 group 64 budget 0):
+# off 206.2/207.9 Mrays/s, DIV=4 190.1, DIV=8 142.7 — the two 8M-lane
+# stable sorts cost more than the ~0.92 ms gather they save, and the
+# lax.cond splits the fused loop body.  Same flat-floor story as the other
+# schemes: gather width is not the knob this backend rewards.
+TEX_COMPACT = False
+TEX_COMPACT_DIV = 4
+# below this lane count the full gather is already cheap and the sort
+# bookkeeping would dominate; also keeps tiny CPU-test batches on the
+# simple path (the compact path is covered by its own equivalence test)
+_COMPACT_MIN_LANES = 8192
 
 
 def _nearest_index(tex_id, u, v, widths, heights, offsets, n_textures: int):
@@ -46,6 +67,33 @@ def sample_atlas(cs: CompiledScene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.
     return V3.where(tex_id >= 0, rgb, V3.of(1.0, 1.0, 1.0))
 
 
+def _gather_texels_compact(cs: CompiledScene, textured, idx) -> jnp.ndarray:
+    """Packed-int32 texels for the ``textured`` lanes (others: texel 0) via
+    the compacted static-prefix gather (module note at ``TEX_COMPACT``).
+    Exact: a ``lax.cond`` falls back to the full-width gather whenever the
+    textured count overflows the prefix."""
+    n = int(idx.shape[0])
+    cap = -(-n // TEX_COMPACT_DIV)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # textured lanes first; stable, so their (coherent) lane order survives
+    key = 1 - textured.astype(jnp.int32)
+    _k, s_idx, s_iota = jax.lax.sort([key, idx, iota], num_keys=1, is_stable=True)
+    cnt = jnp.sum(textured.astype(jnp.int32))
+
+    def small(_):
+        part = cs.atlas[s_idx[:cap]]
+        tex_sorted = jnp.concatenate(
+            [part, jnp.zeros((n - cap,), cs.atlas.dtype)]
+        )
+        _i, tex = jax.lax.sort([s_iota, tex_sorted], num_keys=1, is_stable=True)
+        return tex
+
+    def big(_):
+        return cs.atlas[idx]
+
+    return jax.lax.cond(cnt <= cap, small, big, None)
+
+
 def resolve_base_color(cs: CompiledScene, mat_color: V3, has_tex, tex_id, u, v) -> V3:
     """Texture sample where textured, material color elsewhere
     (``cuda_texture_renderer.py:206-219``)."""
@@ -55,6 +103,14 @@ def resolve_base_color(cs: CompiledScene, mat_color: V3, has_tex, tex_id, u, v) 
         # gather entirely (flat ~7 ns/lane even on the 1-texel dummy atlas)
         return mat_color
     textured = has_tex > 0.5
+    if TEX_COMPACT and textured.ndim == 1 and int(textured.shape[0]) >= _COMPACT_MIN_LANES:
+        idx = _nearest_index(tex_id, u, v, cs.tex_width, cs.tex_height,
+                             cs.tex_offset, cs.n_textures)
+        # untextured lanes point at texel 0: they are masked below, and one
+        # hot index keeps them off random atlas cache lines in the fallback
+        idx = jnp.where(textured, idx, 0)
+        rgb = _unpack_rgb(_gather_texels_compact(cs, textured, idx))
+        return V3.where(textured, rgb, mat_color)
     sampled = sample_atlas(cs, jnp.where(textured, tex_id, -1), u, v)
     return V3.where(textured, sampled, mat_color)
 

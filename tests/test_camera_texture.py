@@ -101,3 +101,34 @@ def test_untextured_resolve_gate_matches_ungated():
     )
     np.testing.assert_allclose(np.asarray(gated.to_array()),
                                np.tile([0.2, 0.5, 0.8], (n, 1)), rtol=1e-6)
+
+
+def test_compact_gather_matches_full(cornell, monkeypatch):
+    """The compacted static-prefix gather (``TEX_COMPACT``) is bit-identical
+    to the plain full-width gather — both below the prefix cap and in the
+    overflow case where the lax.cond falls back to the full gather."""
+    from path_tracing__ray_tracer_tpu.ops import texture as tex
+    from path_tracing__ray_tracer_tpu.ops.v3 import V3
+
+    scene, _ = cornell
+    cs = compile_scene(scene)
+    rng = np.random.default_rng(11)
+    n = 1024
+    u = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    mat = V3.full(0.25, (n,))
+
+    for frac in (0.15, 0.60):  # below cap (DIV=4) and overflow -> fallback
+        has = (rng.uniform(0, 1, n) < frac).astype(np.float32)
+        tid = rng.integers(0, cs.n_textures, n).astype(np.int32)
+        has_tex = jnp.asarray(has)
+        tex_id = jnp.asarray(tid)
+
+        monkeypatch.setattr(tex, "TEX_COMPACT", True)
+        monkeypatch.setattr(tex, "_COMPACT_MIN_LANES", 0)
+        compact = tex.resolve_base_color(cs, mat, has_tex, tex_id, u, v)
+        monkeypatch.setattr(tex, "TEX_COMPACT", False)
+        plain = tex.resolve_base_color(cs, mat, has_tex, tex_id, u, v)
+        np.testing.assert_array_equal(
+            np.asarray(compact.to_array()), np.asarray(plain.to_array())
+        )
