@@ -62,11 +62,14 @@ _P_REFRACT, _P_REFLECT, _P_DIFFUSE = 0.6, 0.25, 0.15
 _PROBE_ITERS = False
 
 # Phase-1 → phase-2 cutover: phase 1 ends once at most N // _TAIL_DIV lanes
-# are unfinished (rounded up to a 1024-lane width).  Bigger divisors keep
-# phase 1 running longer at full width; smaller ones hand stragglers to the
-# compact tail earlier.  Read at trace time; sweep knob for experiments
+# are unfinished (rounded up to a _TAIL_QUANT-lane width).  Bigger divisors
+# keep phase 1 running longer at full width; smaller ones hand stragglers to
+# the compact tail earlier.  Read at trace time; sweep knob for experiments
 # (results are bit-identical for any value — see the phase-2 docstring).
 _TAIL_DIV = 64
+# Tail width floor/rounding (8 sublanes × 128 lanes); tests shrink it so
+# small chunks still exercise the phase-1 loop.
+_TAIL_QUANT = 1024
 
 # Phase-1 accumulator fold cadence.  The (NS, N) accumulator is ~100 MB at
 # the bench shapes; reading+writing it every iteration is pure HBM traffic
@@ -77,6 +80,20 @@ _TAIL_DIV = 64
 # and folds them into the accumulator once per _FOLD_EVERY iterations —
 # bit-identical (the per-cell addition tree is unchanged: 0 + x == x).
 _FOLD_EVERY = 8
+
+# Fused in-kernel regeneration (phase 1 of _regen_chunk): when the scene
+# takes the Pallas bounce megakernel, run the scheduler glue — contribution/
+# throughput FMAs, retirement, item advance, camera-ray regeneration, RNG —
+# inside the same Pallas launch as the next bounce
+# (ops/pallas/bounce_pallas._path_step_kernel).  The only per-iteration XLA
+# work left is the atlas texel gather and the slot-fold parks.  Motivation
+# was the ~0.4 ms of XLA glue in a 1.55 ms Cornell bench iteration — but the
+# A/B at the honest bench config measured FLAT (pipe 204.7/207.9 vs XLA-glue
+# 206.6/203.9 Mrays/s, within tunnel noise; experiments/measure_pipe.py):
+# the step kernel's 29-in/38-out lane-state roundtrip costs what the fused
+# glue saves.  Kept built + equivalence-tested (tests/test_pipe_regen.py),
+# gated off like the other measured-flat levers (BENCHMARKS.md round 3).
+_PIPE_REGEN = False
 
 # Shuffled work assignment in the regeneration scheduler (see _regen_chunk).
 # Shuffling equalizes lane workloads (2.1x on the Cornell bench).  Measured
@@ -369,6 +386,7 @@ def _regen_chunk(
     jitter: str,
     shadow_tmax: str = "reference",
     lod_depth: int = 0,
+    pipe: bool = None,
 ):
     """Radiance sums via *ray regeneration*: one persistent pool of ``n_pix``
     lanes where a lane that finishes a path (miss / RR kill / throughput
@@ -435,6 +453,15 @@ def _regen_chunk(
     lod = lod_depth > 0 and cs.mip_atlas is not None
     mip_resolve = None if lod else _make_mip_resolve(cs)
     defer = mip_resolve is not None
+    # fused in-kernel regeneration (module note at _PIPE_REGEN): same gate as
+    # the bounce megakernel — the step kernel embeds the same SMEM sweep.
+    # ``pipe=None`` defers to the module default; the renderer threads the
+    # flag through the jit static key so A/B experiments don't share a cache.
+    from ..ops.intersect import _pallas_enabled
+
+    if pipe is None:
+        pipe = _PIPE_REGEN
+    use_pipe = pipe and not defer and not lod and _pallas_enabled(cs)
 
     def make_ray(lane_ids, s):
         """Camera ray + RNG key for lane ``lane_ids``'s item ``s`` — exactly
@@ -540,7 +567,8 @@ def _regen_chunk(
         return (cA.x, cA.y, cA.z) + ((cB.x, cB.y, cB.z) if defer else ())
 
     # ---- phase 1: full width, slot-buffered accumulation into (NS, N) ------
-    tail = min(-(-max(1024, N // _TAIL_DIV) // 1024) * 1024, N)
+    q = _TAIL_QUANT
+    tail = min(-(-max(q, N // _TAIL_DIV) // q) * q, N)
     item_rows = jax.lax.broadcasted_iota(jnp.int32, (NS, N), 0)
 
     if defer:
@@ -568,6 +596,139 @@ def _regen_chunk(
             cond1, body1, (state0, acc0, jnp.int32(0))
         )
         psum1 = None
+    elif use_pipe:
+        # Fused in-kernel regeneration (_PIPE_REGEN): one Pallas launch per
+        # iteration runs glue(prev record) → regen → bounce(new rays)
+        # (ops/pallas/bounce_pallas._path_step_kernel).  The only XLA left per
+        # iteration is the atlas texel gather for the record's hit and the
+        # K-slot accumulator fold.  The kernel glue mirrors bounce_step term
+        # for term; equality is up to Mosaic-vs-XLA FMA contraction
+        # (tests/test_pipe_regen.py bounds it, exactly as test_regen does for
+        # the scheduler itself).
+        from ..ops.pallas.bounce_pallas import (
+            StepRec,
+            StepStatics,
+            pack_light_blob,
+            pack_mat_blob,
+            pack_tex_blob,
+            path_step_pallas,
+        )
+        from ..ops.pallas.intersect_pallas import blob_layout, pack_scene_blob
+
+        tex_on = not (
+            cs.any_textured is not None and cs.any_textured.shape[0] == 0
+        )
+        statics = StepStatics(
+            layout=blob_layout(cs),
+            n_mats=int(cs.materials.diffuse.shape[0]),
+            n_lights=cs.n_lights,
+            n_tex=int(cs.n_textures),
+            tex_on=tex_on,
+            t_min=_T_MIN,
+            t_max=_T_MAX,
+            shadow_light=(shadow_tmax == "light"),
+            jitter=jitter,
+            width=width,
+            height=height,
+            total=total,
+            stride=STRIDE,
+            n_pix=N,
+            ns=NS,
+            max_depth=max_depth,
+        )
+        blob = pack_scene_blob(cs)
+        mat_blob = pack_mat_blob(cs)
+        light_blob = pack_light_blob(cs)
+        tex_blob = pack_tex_blob(cs)
+        cam_smem = jnp.asarray(cam12, jnp.float32).reshape(1, 12)
+        scal = jnp.stack(
+            [
+                jnp.asarray(pix0, jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    jnp.asarray(seed).astype(jnp.uint32), jnp.int32
+                ),
+                jnp.asarray(sample_base, jnp.int32),
+            ]
+        )[None, :]
+
+        zN = jnp.zeros((N,), jnp.float32)
+        oneN = jnp.ones((N,), jnp.float32)
+        # Priming record: glue(rec0) is an exact no-op that leaves every lane
+        # bouncing its initial camera ray at depth 0 — hit=1/kill=0 keep it
+        # live, wnee=0 contributes nothing, sthr=1/tthr=0 keep thr at 1, and
+        # depth −1 makes ndepth 0.
+        rec0 = StepRec(
+            idx=jnp.full((N,), -1, jnp.int32), hit=oneN, kill=zN, wnee=zN,
+            rrs=oneN, sthr=oneN, tthr=zN, no=o0, nd=d0, mc=V3(zN, zN, zN),
+        )
+        idx_g0 = pix0 + lane
+        ux0 = (idx_g0 % width).astype(jnp.int32)
+        uy0 = (idx_g0 // width).astype(jnp.int32)
+        K = _FOLD_EVERY
+        texel0 = jnp.zeros((N,), jnp.int32)
+
+        def gather_texel(idx):
+            # untextured scenes skip the gather entirely (the resolve gate:
+            # idx is −1 for every lane and the kernel falls back to mc)
+            if not tex_on:
+                return texel0
+            return cs.atlas[jnp.maximum(idx, 0)]
+
+        def cond1(carry):
+            return (jnp.sum(carry[7] < NS) > tail) & (carry[-1] < iter_cap)
+
+        def body1(carry):
+            rec, o, d, thr, psum, key, depth, s, ploc, ux, uy, acc, it = carry
+            s_item0 = jnp.full((K, N), NS, jnp.int32)
+            s_val0 = V3.full(0.0, (K, N))
+
+            def step(k, c):
+                (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
+                 si, sv, it) = c
+                texel = gather_texel(rec.idx)
+                (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
+                 item, park) = path_step_pallas(
+                    statics, blob, mat_blob, light_blob, tex_blob, cam_smem,
+                    scal, rec, texel, thr, psum, key, depth, s, ploc, ux, uy,
+                )
+                si = si.at[k].set(item)
+                sv = V3(
+                    sv.x.at[k].set(park.x),
+                    sv.y.at[k].set(park.y),
+                    sv.z.at[k].set(park.z),
+                )
+                return (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
+                        si, sv, it + 1)
+
+            (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy, s_item,
+             s_val, it) = jax.lax.fori_loop(
+                0, K, step,
+                (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
+                 s_item0, s_val0, it),
+            )
+            # same non-overlapping K-slot one-hot fold as the XLA branch
+            adds = [jnp.float32(0.0)] * 3
+            for k in range(K):
+                hit_row = item_rows == s_item[k][None, :]
+                for c, ch in enumerate((s_val.x, s_val.y, s_val.z)):
+                    adds[c] = adds[c] + jnp.where(hit_row, ch[k][None, :], 0.0)
+            acc = tuple(a + add for a, add in zip(acc, adds))
+            return rec, o, d, thr, psum, key, depth, s, ploc, ux, uy, acc, it
+
+        carry0 = (
+            rec0, o0, d0, V3.full(1.0, (N,)), V3.full(0.0, (N,)), key0,
+            jnp.full((N,), -1, jnp.int32), jnp.zeros((N,), jnp.int32),
+            lane, ux0, uy0, acc0, jnp.int32(0),
+        )
+        (_rec, o, d, thr, psum1, key, depth, s, _pl, _ux, _uy, acc, _it
+         ) = jax.lax.while_loop(cond1, body1, carry0)
+        # The pending record (the last call's un-glued bounce) is DISCARDED:
+        # its lanes' s/psum are untouched, so phase 2 re-bounces exactly those
+        # (o, d, thr, key, depth) rays through the same megakernel physics —
+        # deterministic RNG makes the re-bounce identical.  The max() handles
+        # the zero-iteration case (chunk ≤ tail): the carried priming depth
+        # −1 must hand fresh camera rays to phase 2 at depth 0.
+        st1 = (o, d, thr, key, jnp.maximum(depth, 0), s)
     else:
         # K-slot fold (module note at _FOLD_EVERY): the loop carries a per-
         # lane running path sum; a finishing lane parks (item, sum) in slot
@@ -697,7 +858,7 @@ def _regen_chunk(
 @partial(
     jax.jit,
     static_argnames=("n_pix", "width", "height", "n_samples", "max_depth",
-                     "jitter", "shadow_tmax", "lod_depth"),
+                     "jitter", "shadow_tmax", "lod_depth", "pipe"),
 )
 def _path_chunk(
     cs,
@@ -714,6 +875,7 @@ def _path_chunk(
     jitter: str,
     shadow_tmax: str = "reference",
     lod_depth: int = 0,
+    pipe: bool = None,
 ):
     """Radiance sums over ``n_samples`` independent samples for one pixel chunk.
 
@@ -740,6 +902,7 @@ def _path_chunk(
         jitter=jitter,
         shadow_tmax=shadow_tmax,
         lod_depth=lod_depth,
+        pipe=pipe,
     )
 
 
@@ -814,6 +977,7 @@ class TPUPathTracer(WavefrontRenderer):
             jitter=jitter,
             shadow_tmax=self.shadow_tmax,
             lod_depth=self.lod_depth,
+            pipe=_PIPE_REGEN,
         )
 
     def render_sums(self, scene, camera, settings, sample_offset=0, n_samples=None):
