@@ -131,6 +131,17 @@ class CompiledScene(NamedTuple):
     # atlas (pure waste; measured in BENCHMARKS.md round 3).  None
     # (hand-built scenes) = assume textured.
     any_textured: jnp.ndarray = None
+    # Unique-material compression: scenes carry few *distinct* materials
+    # (Cornell: 16; the 11.5K-tri mesh scene: a handful), so the per-lane
+    # material fetch needs ONE int32 gather (prim → unique id) instead of
+    # ten — the other nine fields resolve from ``mat_table`` by select
+    # chain (ops/select_table.py; gathers are a flat ~7 ns/lane on this
+    # backend, so 9 saved gathers ≈ 8 ms per 131K-lane bounce — measured,
+    # BENCHMARKS.md round 3).  None when the scene has more than
+    # ``select_table.SELECT_LIMIT`` distinct materials (falls back to the
+    # per-prim gather form).
+    mat_uid: jnp.ndarray = None  # (M,) int32 unique-material index
+    mat_table: MatSoA = None  # (U,) unique rows, U <= SELECT_LIMIT
 
     @property
     def n_planes(self) -> int:
@@ -410,6 +421,31 @@ def compile_scene(
         tex_id=jnp.asarray(tex_id),
     )
 
+    # ---- unique-material compression (see CompiledScene.mat_uid) -------------
+    from .ops.select_table import SELECT_LIMIT
+
+    mat_rows = np.stack(
+        [color[:, 0], color[:, 1], color[:, 2], diffuse, specular,
+         reflective, refractive, ior, has_tex, tex_id.astype(np.float64)],
+        axis=1,
+    )
+    uniq, uid = np.unique(mat_rows, axis=0, return_inverse=True)
+    uid = uid.reshape(-1)  # numpy 2.x returns (M, 1) for axis-unique inverse
+    mat_uid = mat_table = None
+    if uniq.shape[0] <= SELECT_LIMIT:
+        uq = uniq.astype(np.float32)
+        mat_uid = jnp.asarray(uid.astype(np.int32))
+        mat_table = MatSoA(
+            color=V3(jnp.asarray(uq[:, 0]), jnp.asarray(uq[:, 1]), jnp.asarray(uq[:, 2])),
+            diffuse=jnp.asarray(uq[:, 3]),
+            specular=jnp.asarray(uq[:, 4]),
+            reflective=jnp.asarray(uq[:, 5]),
+            refractive=jnp.asarray(uq[:, 6]),
+            ior=jnp.asarray(uq[:, 7]),
+            has_tex=jnp.asarray(uq[:, 8]),
+            tex_id=jnp.asarray(uniq[:, 9].astype(np.int32)),
+        )
+
     # ---- lights & globals ----------------------------------------------------
     n_lights = max(1, len(scene.lights))
     lights = _v3_table(scene.lights, max(1, len(scene.lights)))
@@ -459,6 +495,8 @@ def compile_scene(
     return CompiledScene(
         tri_uv_used=jnp.zeros((1 if tri_textured else 0,), jnp.int8),
         any_textured=jnp.zeros((1 if bool(np.any(has_tex > 0.0)) else 0,), jnp.int8),
+        mat_uid=mat_uid,
+        mat_table=mat_table,
         bvh=flat_bvh,
         planes=planes_soa,
         spheres=spheres_soa,

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..ops import rng
 from ..ops.camera import generate_rays
-from ..ops.intersect import gather_material, scene_hit, scene_hit_any
+from ..ops.intersect import resolve_material, scene_hit, scene_hit_any
 from ..ops.sampling import cosine_hemisphere, pick_light
 from ..ops.pallas.texture_pallas import texel_index
 from ..ops.texture import resolve_base_color, resolve_base_color_lod
@@ -171,7 +171,7 @@ def _bounce_xla(cs, o: V3, d: V3, thr: V3, key, depth, shadow_tmax: str = "refer
     n = o.x.shape
     depth = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), n)
     hit = scene_hit(cs, o, d, _T_MIN, _T_MAX)
-    mats = gather_material(cs.materials, hit.prim)
+    mats = resolve_material(cs, hit.prim)
     (mcolor, diffuse, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
     normal = hit.normal
     point = hit.point

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops import rng
 from ..ops.camera import generate_rays
-from ..ops.intersect import gather_material, scene_hit, scene_hit_any
+from ..ops.intersect import resolve_material, scene_hit, scene_hit_any
 from ..ops.texture import resolve_base_color
 from ..ops.v3 import V3, refract
 from .base import RendererFactory
@@ -194,7 +194,7 @@ def whitted_radiance(cs, org: V3, rd: V3, max_depth: int, variant: WhittedVarian
     def body(state):
         depth, o, d, atten, color, active = state
         hit = scene_hit(cs, o, d, _T_MIN, _T_MAX)
-        mats = gather_material(cs.materials, hit.prim)
+        mats = resolve_material(cs, hit.prim)
         (mcolor, _diff, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
 
         if variant.textured:

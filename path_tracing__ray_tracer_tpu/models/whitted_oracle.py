@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops import rng
 from ..ops.camera import generate_rays
-from ..ops.intersect import gather_material, scene_hit, scene_hit_any
+from ..ops.intersect import resolve_material, scene_hit, scene_hit_any
 from ..ops.texture import resolve_base_color
 from ..ops.v3 import V3, refract
 from .base import RendererFactory
@@ -127,7 +127,7 @@ def _trace(cs, org: V3, rd: V3, depth: int, max_depth: int, active) -> V3:
         """Shade one heap node and produce its two child rays (both always
         computed; activity masks gate their contribution)."""
         hit = scene_hit(cs, o, d, _T_MIN, 1e30)
-        mats = gather_material(cs.materials, hit.prim)
+        mats = resolve_material(cs, hit.prim)
         (mcolor, _diff, _spec, reflective, refractive, ior, has_tex, tex_id) = mats
         base = resolve_base_color(cs, mcolor, has_tex, tex_id, hit.u, hit.v)
         local = _shade_local(cs, hit, base, mats, o)

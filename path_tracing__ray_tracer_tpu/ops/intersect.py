@@ -548,3 +548,27 @@ def gather_material(mats: MatSoA, prim_idx: jnp.ndarray):
         mats.has_tex[idx],
         mats.tex_id[idx],
     )
+
+
+def resolve_material(cs: CompiledScene, prim_idx: jnp.ndarray):
+    """``gather_material`` through the unique-material compression when the
+    scene carries one (``compiler`` builds it for ≤ SELECT_LIMIT distinct
+    materials): ONE int32 gather (prim → unique id) plus a gather-free
+    select chain for the nine fields, instead of ten flat-floor gathers —
+    measured ~8 ms per 131K-lane bounce on the 11.5K-tri mesh scene
+    (BENCHMARKS.md round 3, ``experiments/measure_glue2.py``).  Bit-exact:
+    the select chain copies rows, no arithmetic touches the values."""
+    if cs.mat_table is None:
+        return gather_material(cs.materials, prim_idx)
+    from .select_table import take_rows
+
+    mid = cs.mat_uid[jnp.maximum(prim_idx, 0)]
+    mt = cs.mat_table
+    (cx, cy, cz, diffuse, specular, reflective, refractive, ior, has_tex,
+     tex_id) = take_rows(
+        mid,
+        (mt.color.x, mt.color.y, mt.color.z, mt.diffuse, mt.specular,
+         mt.reflective, mt.refractive, mt.ior, mt.has_tex, mt.tex_id),
+    )
+    return (V3(cx, cy, cz), diffuse, specular, reflective, refractive, ior,
+            has_tex, tex_id)

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from ..compiler import CompiledScene
+from .select_table import SELECT_LIMIT, take_rows
 from .v3 import V3
 
 # Compacted per-bounce gather — built, bit-exact, and a MEASURED LOSS; kept
@@ -36,9 +37,14 @@ def _nearest_index(tex_id, u, v, widths, heights, offsets, n_textures: int):
     (``cuda_texture_renderer.py:117-143``) against arbitrary w/h/offset
     tables (full atlas or mip)."""
     tid = jnp.clip(tex_id, 0, n_textures - 1)
-    w = widths[tid]
-    h = heights[tid]
-    off = offsets[tid]
+    if n_textures <= SELECT_LIMIT:
+        # gather-free row pick from the tiny info table (bit-exact; HLO
+        # gathers cost a flat ~7 ns/lane however small the table is)
+        w, h, off = take_rows(tid, (widths, heights, offsets))
+    else:
+        w = widths[tid]
+        h = heights[tid]
+        off = offsets[tid]
     uu = jnp.clip(u, 0.0, 1.0)
     vv = jnp.clip(v, 0.0, 1.0)
     iu = jnp.clip((uu * (w - 1).astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
