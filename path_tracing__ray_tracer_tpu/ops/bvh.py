@@ -64,6 +64,9 @@ class FlatBVH(NamedTuple):
     # shares slot_blob with the BVH2 blobs.  None when the root is a leaf.
     quad_blob: jnp.ndarray = None  # (1, 32·M4) f32
     quad_depth_token: jnp.ndarray = None  # (depth4,) int8 zeros
+    # (16, G·128) f32 leaf coefficient matrix for the MXU leaf test
+    # (pallas/bvh_pallas.pack_leaf_mat); None when built without vertices
+    leaf_mat: jnp.ndarray = None
 
     @property
     def n_nodes(self) -> int:
@@ -225,9 +228,9 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
     ``nrm`` should be the same stored unit normals as ``triangles.normal``
     so the in-kernel attrs path is bit-identical to the gather path."""
     tree_blob = slot_blob = depth_token = None
-    quad_blob = quad_depth_token = None
+    quad_blob = quad_depth_token = leaf_mat = None
     if v0 is not None:
-        from .pallas.bvh_pallas import pack_blobs, pack_blobs4
+        from .pallas.bvh_pallas import pack_blobs, pack_blobs4, pack_leaf_mat
 
         tree_np, slot_np, depth = pack_blobs(arrs, np.asarray(v0, np.float32),
                                              np.asarray(v1, np.float32),
@@ -241,6 +244,10 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
         if quad_np is not None:
             quad_blob = jnp.asarray(quad_np)
             quad_depth_token = jnp.zeros((depth4,), jnp.int8)
+        leaf_mat = jnp.asarray(pack_leaf_mat(
+            arrs, np.asarray(v0, np.float32), np.asarray(v1, np.float32),
+            np.asarray(v2, np.float32), nrm=nrm,
+        ))
     return FlatBVH(
         lo=jnp.asarray(arrs["lo"]),
         hi=jnp.asarray(arrs["hi"]),
@@ -252,6 +259,7 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
         depth_token=depth_token,
         quad_blob=quad_blob,
         quad_depth_token=quad_depth_token,
+        leaf_mat=leaf_mat,
     )
 
 

@@ -151,6 +151,76 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     return tree.reshape(1, -1), rec.reshape(1, -1), depth
 
 
+def pack_leaf_mat(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                  nrm: np.ndarray = None) -> np.ndarray:
+    """Leaf-triangle coefficient matrix for the MXU leaf test.
+
+    Möller–Trumbore's four decision quantities are each LINEAR in the
+    per-ray feature vector ``f = [d, m=o×d, o, 1]`` (validated numerically
+    against the scalar MT chain):
+
+        det   = d·n'                 with n' = e2×e1
+        u·det = m·e2 − d·(e2×v0)
+        v·det = −m·e1 − d·(v0×e1)
+        t·det = n'·v0 − o·n'
+
+    so one leaf visit becomes ONE MXU matmul ``P_leafᵀ @ F`` over the whole
+    ray block instead of ``leaf_size`` serial ~45-op VPU evaluations — the
+    leaf test is the measured majority of the BVH4 walk (BENCHMARKS.md).
+    The stored normal and the triangle id ride along as constant rows
+    (dotted with the ``1`` feature) for the closest/attrs variant.
+
+    Layout: ``(16, G·128)`` f32 — 16 feature rows (10 used), and per leaf
+    group ``g`` (same slot-group numbering as ``pack_blobs``) a 128-column
+    block of 8 quantity sub-blocks × 16 slots:
+    ``[det₀..₁₅ | u·det | v·det | t·det | nx | ny | nz | gid]``.
+    Zero-padded slots give ``det == 0`` and can never win (same contract as
+    the all-zero slot records).
+    """
+    is_leaf, slots = arrs["is_leaf"], arrs["slots"]
+    leaf_size = slots.shape[1]
+    assert leaf_size <= 16 and 128 % leaf_size == 0
+    leaf_ids = np.where(is_leaf)[0]
+    g_total = len(leaf_ids)
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(v1, np.float64) - v0
+    e2 = np.asarray(v2, np.float64) - v0
+    if nrm is None:
+        n = np.cross(e1, e2)
+        n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    else:
+        n = np.asarray(nrm, np.float64)
+
+    flat = slots[leaf_ids].reshape(-1)  # (G*leaf_size,) tri ids, -1 pad
+    valid = flat >= 0
+    tri = flat[valid]
+    rows = np.where(valid)[0]
+    g_of = rows // leaf_size
+    k_of = rows % leaf_size
+
+    P = np.zeros((16, g_total * 128), np.float32)
+    npr = np.cross(e2[tri], e1[tri])  # n' = e2×e1  (f64 like pack_blobs' prep)
+
+    def put(q, feat_rows, vals):
+        """quantity block q, feature rows, per-tri coefficient columns."""
+        cols = g_of * 128 + q * 16 + k_of
+        for r, v in zip(feat_rows, vals.T if vals.ndim == 2 else [vals]):
+            P[r, cols] = v.astype(np.float32)
+
+    put(0, [0, 1, 2], npr)                                    # det: d·n'
+    put(1, [0, 1, 2], -np.cross(e2[tri], v0[tri]))            # u·det: d-part
+    put(1, [3, 4, 5], e2[tri])                                # u·det: m-part
+    put(2, [0, 1, 2], -np.cross(v0[tri], e1[tri]))            # v·det: d-part
+    put(2, [3, 4, 5], -e1[tri])                               # v·det: m-part
+    put(3, [6, 7, 8], -npr)                                   # t·det: o-part
+    put(3, [9], np.einsum("ij,ij->i", npr, v0[tri]))          # t·det: const
+    put(4, [9], n[tri][:, 0])                                 # nx
+    put(5, [9], n[tri][:, 1])                                 # ny
+    put(6, [9], n[tri][:, 2])                                 # nz
+    put(7, [9], tri.astype(np.float64))                       # gid
+    return P
+
+
 def _split_codes(lo, hi, skip, is_leaf) -> np.ndarray:
     """Per-node split code ``axis + 4*flip`` (0..7) for inner nodes, 0 for
     leaves.  ``axis`` is the dominant child-centroid-separating axis and
@@ -636,6 +706,42 @@ BVH_BYTE_REDUCE = False
 BVH_OR_REDUCE = False
 
 
+def _leaf_any_mxu(leafmat_ref, featm, base_f, leaf_size, t_min,
+                  box_hit, found):
+    """Occlusion leaf visit as ONE MXU matmul + batched sign tests.
+
+    ``featm`` is the block's (16, W) ray-feature matrix ([d, m=o×d, o, 1,
+    limit, 0…] rows, W = block lanes); the leaf's (16, 128) coefficient
+    slice (``pack_leaf_mat``) contracts against it on the feature axis, so
+    the 16 serial ~40-op Möller–Trumbore slot tests collapse into one
+    (128, W) matmul and ~12 vector ops on (16, W) quantity rows.  Division
+    free: with s2 = det² ≥ 0, ``u ≥ 0 ⇔ u·det·det ≥ 0`` etc., and the
+    per-lane limit rides featm row 10 so no narrow↔wide relayout is needed
+    until the final row-any.  Same decision semantics as ``_leaf_tris``'s
+    occlusion update up to f32 rounding of the linear forms (boundary rays
+    within ~1e-6 of an edge/plane may flip — measure-zero; QUIRKS.md)."""
+    col0 = (base_f.astype(jnp.int32) // leaf_size) * 128
+    P = leafmat_ref[:, pl.ds(col0, 128)]
+    out = jax.lax.dot_general(
+        P, featm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (128, W): 16-slot blocks of det | u·det | v·det | t·det | …
+    det = out[0:16, :]
+    ud = out[16:32, :] * det
+    vd = out[32:48, :] * det
+    td = out[48:64, :] * det
+    s2 = det * det
+    limw = featm[10:11, :]
+    win = (
+        (jnp.abs(det) > 1e-6)
+        & (ud >= 0.0) & (ud <= s2) & (vd >= 0.0) & (ud + vd <= s2)
+        & (td > t_min * s2) & (td < limw * s2)
+    )
+    hit_n = jnp.any(win, axis=0, keepdims=True).reshape(box_hit.shape)
+    return jnp.maximum(found, (hit_n & box_hit).astype(jnp.float32))
+
+
 def _quad_pop_common(tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far):
     """Shared BVH4 pop front half: 4 child slab tests + ONE reduction for
     the four block-level any bits (the vector→scalar reduction is the
@@ -941,11 +1047,13 @@ def _bvh4_scene_closest_kernel(
 
 
 def _bvh4_any_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
-                   ox, oy, oz, dx, dy, dz, limit, found0):
+                   ox, oy, oz, dx, dy, dz, limit, found0,
+                   featm=None, leafmat_ref=None):
     """BVH4 occlusion walk body: packed dual reductions + near-first order
     so occluded lanes park early and the all-found exit fires sooner.
     ``found0`` seeds the parked/found state (1.0 = already occluded /
-    don't-care)."""
+    don't-care).  With ``featm``/``leafmat_ref`` the leaf visits run on the
+    MXU (``_leaf_any_mxu``) instead of the serial slot tests."""
     ivx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12)
     ivy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
     ivz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
@@ -974,6 +1082,11 @@ def _bvh4_any_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
 
         for c in range(4):
             def leaf_fn(fnd, base_f=metas[c], bh=hits[c]):
+                if featm is not None:
+                    return _leaf_any_mxu(
+                        leafmat_ref, featm, base_f, leaf_size, t_min, bh, fnd
+                    )
+
                 def upd(carry2, win, t, _gid, *_attrs):
                     f = carry2 if carry2 is not None else fnd
                     hit_now = win & bh & (t < limit)
@@ -1021,6 +1134,52 @@ def _bvh4_any_kernel(
         m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
         ox, oy, oz, dx, dy, dz, limit,
         (limit <= 0.0).astype(jnp.float32),
+    )
+
+
+def _bvh4_any_mxu_kernel(
+    m4, leaf_size, t_min,
+    tree_ref, slot_ref, leafmat_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, featm_ref, found_ref, stack_ref,
+):
+    """Whole-tree BVH4 occlusion walk with MXU leaf visits (see
+    ``_leaf_any_mxu``)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
+    found_ref[:] = _bvh4_any_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+        ox, oy, oz, dx, dy, dz, limit,
+        (limit <= 0.0).astype(jnp.float32),
+        featm=featm_ref[:], leafmat_ref=leafmat_ref,
+    )
+
+
+def _bvh4_scene_any_mxu_kernel(
+    m4, leaf_size, ps_layout, t_min,
+    tree_ref, slot_ref, ps_ref, leafmat_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    limit_ref, featm_ref, found_ref, stack_ref,
+):
+    """Whole-scene occlusion with MXU leaf visits: ps sweep seeds found,
+    triangles via ``_leaf_any_mxu`` (see ``_bvh4_scene_any_kernel``)."""
+    from .intersect_pallas import _sweep_prims
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    limit = limit_ref[:]
+    _t, ps_i, *_ = _sweep_prims(
+        ps_ref, ps_layout, ox, oy, oz, dx, dy, dz, t_min, limit,
+        want_attrs=False,
+    )
+    found0 = jnp.maximum(
+        (limit <= 0.0).astype(jnp.float32), (ps_i >= 0).astype(jnp.float32)
+    )
+    found_ref[:] = _bvh4_any_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
+        ox, oy, oz, dx, dy, dz, limit, found0,
+        featm=featm_ref[:], leafmat_ref=leafmat_ref,
     )
 
 
@@ -1129,6 +1288,38 @@ BVH_ATTRS = os.environ.get("PTRT_BVH_ATTRS", "1") != "0"
 # (implies BVH_ATTRS semantics); same interpret-verified escape-hatch
 # pattern: PTRT_BVH_SCENE=0 reverts to the split path without code edits.
 BVH_SCENE = os.environ.get("PTRT_BVH_SCENE", "1") != "0"
+# MXU leaf visits in the occlusion walks (``_leaf_any_mxu``): one matmul
+# against the ``pack_leaf_mat`` coefficient table replaces the 16 serial
+# Möller–Trumbore slot tests — the leaf test is the measured majority of
+# the BVH4 walk.  Decision-equivalent to the scalar path up to f32 rounding
+# of the linear forms (edge-boundary rays may flip, measure-zero).  Env
+# hatch PTRT_BVH_MXU_LEAF=0/1.
+BVH_MXU_LEAF = os.environ.get("PTRT_BVH_MXU_LEAF", "0") != "0"
+# the leaf coefficient table is a VMEM operand: (16, G·128) f32 = 8 KB per
+# 16-triangle leaf group.  Budget well under the ~16 MB VMEM so the ray
+# blocks, (128, W) matmul result and double buffering still fit.
+LEAF_MAT_VMEM_BYTES = 9_000_000
+
+
+def _mxu_leaf_ok(bvh) -> bool:
+    return (
+        BVH_MXU_LEAF
+        and getattr(bvh, "leaf_mat", None) is not None
+        and int(bvh.leaf_mat.size) * 4 <= LEAF_MAT_VMEM_BYTES
+    )
+
+
+def _feat_matrix(ro: V3, rd: V3, limit_v) -> jnp.ndarray:
+    """(16, n) ray-feature matrix for the MXU leaf test: rows
+    [d, m=o×d, o, 1, limit, 0…] in ``pack_leaf_mat``'s feature order."""
+    m = ro.cross(rd)
+    one = jnp.ones_like(ro.x)
+    zero = jnp.zeros_like(ro.x)
+    return jnp.stack([
+        rd.x, rd.y, rd.z, m.x, m.y, m.z, ro.x, ro.y, ro.z, one,
+        jnp.asarray(limit_v, jnp.float32),
+        zero, zero, zero, zero, zero,
+    ])
 
 
 def _scene_fused_ok(cs) -> bool:
@@ -1578,6 +1769,27 @@ def bvh_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
         def rows2(a):
             return a.reshape(rows, LANES)
 
+        if _mxu_leaf_ok(bvh):
+            featm = _feat_matrix(o, d, lim)
+            fspec = pl.BlockSpec((16, block_rows * LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+            vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+            found = pl.pallas_call(
+                partial(_bvh4_scene_any_mxu_kernel, m4, leaf_size, layout,
+                        float(t_min)),
+                grid=(rows // block_rows,),
+                in_specs=[smem, smem, smem, vmem_full] + [spec] * 7 + [fspec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+            )(
+                bvh.quad_blob, bvh.slot_blob, ps_blob, bvh.leaf_mat,
+                rows2(o.x), rows2(o.y), rows2(o.z),
+                rows2(d.x), rows2(d.y), rows2(d.z),
+                rows2(lim), featm,
+            )
+            return found.reshape(n)
+
         found = pl.pallas_call(
             partial(_bvh4_scene_any_kernel, m4, leaf_size, layout,
                     float(t_min)),
@@ -1736,9 +1948,29 @@ def _bvh_any_unsorted(bvh, ro: V3, rd: V3, t_min: float, limit):
         return a.reshape(rows, LANES)
 
     tree_blob = bvh.tree_blob
+    limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
     if _quad_ok(bvh):
         assert block_rows * LANES < (1 << _PACK_FIELD), "packed counts overflow"
         m4 = int(bvh.quad_blob.shape[1]) // _NODE4_F
+        if _mxu_leaf_ok(bvh):
+            featm = _feat_matrix(ro, rd, limit_v)
+            fspec = pl.BlockSpec((16, block_rows * LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+            vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+            found = pl.pallas_call(
+                partial(_bvh4_any_mxu_kernel, m4, leaf_size, float(t_min)),
+                grid=(rows // block_rows,),
+                in_specs=[smem, smem, vmem_full] + [spec] * 7 + [fspec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+            )(
+                bvh.quad_blob, bvh.slot_blob, bvh.leaf_mat,
+                rows2(ro.x), rows2(ro.y), rows2(ro.z),
+                rows2(rd.x), rows2(rd.y), rows2(rd.z),
+                rows2(limit_v), featm,
+            )
+            return found.reshape(n) > 0.5
         kernel = partial(_bvh4_any_kernel, m4, leaf_size, float(t_min))
         scratch = [pltpu.SMEM((_STACK_CAP,), jnp.int32)]
         tree_blob = bvh.quad_blob
@@ -1749,7 +1981,6 @@ def _bvh_any_unsorted(bvh, ro: V3, rd: V3, t_min: float, limit):
         kernel = partial(_bvh_any_kernel, m, leaf_size, float(t_min))
         scratch = []
 
-    limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
     found = pl.pallas_call(
         kernel,
         grid=(rows // block_rows,),
