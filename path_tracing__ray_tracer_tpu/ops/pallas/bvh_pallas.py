@@ -742,6 +742,66 @@ def _leaf_any_mxu(leafmat_ref, featm, base_f, leaf_size, t_min,
     return jnp.maximum(found, (hit_n & box_hit).astype(jnp.float32))
 
 
+def _leaf_closest_mxu(leafmat_ref, featm, base_f, leaf_size, t_min,
+                      box_hit, best, with_attrs, gid_offset):
+    """Closest-hit leaf visit on the MXU (same matmul as ``_leaf_any_mxu``).
+
+    The per-visit winner is the minimum-``t`` winning slot with ties to the
+    lowest slot index — identical to the sequential strict-``<`` slot scan.
+    Attrs come from the same matmul: the stored normal and the triangle id
+    ride constant coefficient rows, and the winner's row is extracted with a
+    first-match one-hot (exact: the non-selected rows contribute 0.0 to the
+    sum).  ``t`` and the barycentrics are single-rounded (``num/det``) where
+    the scalar path double-rounds (``inv_det·num``) — boundary ties may
+    resolve differently (QUIRKS.md, measure-zero)."""
+    col0 = (base_f.astype(jnp.int32) // leaf_size) * 128
+    P = leafmat_ref[:, pl.ds(col0, 128)]
+    out = jax.lax.dot_general(
+        P, featm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    det = out[0:16, :]
+    un = out[16:32, :]
+    vn = out[32:48, :]
+    tn = out[48:64, :]
+    s2 = det * det
+    ud = un * det
+    vd = vn * det
+    ok = jnp.abs(det) > 1e-6
+    win = ok & (ud >= 0.0) & (ud <= s2) & (vd >= 0.0) & (ud + vd <= s2)
+    t = tn / jnp.where(ok, det, 1.0)
+    win = win & (t > t_min)
+    tinf = jnp.where(win, t, jnp.float32(3.4e38))
+    tmin_w = jnp.min(tinf, axis=0, keepdims=True)  # (1, W)
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, tinf.shape, 0)
+    rid = jnp.min(jnp.where(tinf <= tmin_w, rows16, 16), axis=0,
+                  keepdims=True)
+    onehot = rows16 == rid
+
+    def sel(q):
+        return jnp.sum(jnp.where(onehot, q, 0.0), axis=0, keepdims=True)
+
+    shape_n = box_hit.shape
+    tm = tmin_w.reshape(shape_n)
+    w = box_hit & (tm < best[0])
+    g = sel(out[112:128, :]).reshape(shape_n).astype(jnp.int32)
+    if gid_offset:
+        g = g + gid_offset
+    res = (jnp.where(w, tm, best[0]), jnp.where(w, g, best[1]))
+    if with_attrs:
+        dsel = sel(det).reshape(shape_n)
+        dsafe = jnp.where(dsel != 0.0, dsel, 1.0)
+        res = res + (
+            jnp.where(w, sel(un).reshape(shape_n) / dsafe, best[2]),
+            jnp.where(w, sel(vn).reshape(shape_n) / dsafe, best[3]),
+            jnp.where(w, sel(out[64:80, :]).reshape(shape_n), best[4]),
+            jnp.where(w, sel(out[80:96, :]).reshape(shape_n), best[5]),
+            jnp.where(w, sel(out[96:112, :]).reshape(shape_n), best[6]),
+        )
+    return res
+
+
 def _quad_pop_common(tree_ref, node, ox, oy, oz, ivx, ivy, ivz, t_min, far):
     """Shared BVH4 pop front half: 4 child slab tests + ONE reduction for
     the four block-level any bits (the vector→scalar reduction is the
@@ -838,7 +898,8 @@ def _quad_push_order(tree_ref, b, metas, anyc, pg_of):
 
 def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
                start_node, ox, oy, oz, dx, dy, dz, bt0, bi0,
-               with_attrs: bool = False, attrs0=None, gid_offset: int = 0):
+               with_attrs: bool = False, attrs0=None, gid_offset: int = 0,
+               featm=None, leafmat_ref=None):
     """Shared front-to-back BVH4 stack walk from ``start_node`` with a
     carried (best_t, best_i): one pop slab-tests FOUR child boxes and pays
     TWO packed reductions, replacing ~3 BVH2 pops (1 reduction each) — the
@@ -882,6 +943,12 @@ def _bvh4_walk(m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref,
 
         for c in range(4):
             def leaf_fn(args, base_f=metas[c], bh=hits[c]):
+                if featm is not None:
+                    return _leaf_closest_mxu(
+                        leafmat_ref, featm, base_f, leaf_size, t_min,
+                        bh, args, with_attrs, gid_offset,
+                    )
+
                 def upd(carry2, win, t, gid, u, v, n3):
                     cur = carry2 if carry2 is not None else args
                     w = win & bh & (t < cur[0])
@@ -970,6 +1037,63 @@ def _bvh4_closest_attrs_kernel(
     nx_ref[:] = nx
     ny_ref[:] = ny
     nz_ref[:] = nz
+
+
+def _bvh4_closest_attrs_mxu_kernel(
+    m4, leaf_size, t_min, t_max,
+    tree_ref, slot_ref, leafmat_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, featm_ref,
+    bt_ref, bi_ref, bu_ref, bv_ref, nx_ref, ny_ref, nz_ref, stack_ref,
+):
+    """BVH4 closest+attrs walk with MXU leaf visits (``_leaf_closest_mxu``)."""
+    ox = ox_ref[:]
+    bt, bi, bu, bv, nx, ny, nz = _bvh4_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref, jnp.int32(0),
+        ox, oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
+        jnp.full_like(ox, t_max), jnp.full(ox.shape, -1, jnp.int32),
+        with_attrs=True, featm=featm_ref[:], leafmat_ref=leafmat_ref,
+    )
+    bt_ref[:] = bt
+    bi_ref[:] = bi
+    bu_ref[:] = bu
+    bv_ref[:] = bv
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+
+
+def _bvh4_scene_closest_mxu_kernel(
+    m4, leaf_size, ps_layout, gid_offset, t_min, t_max,
+    tree_ref, slot_ref, ps_ref, leafmat_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, featm_ref,
+    bt_ref, bi_ref, bu_ref, bv_ref, nx_ref, ny_ref, nz_ref, stack_ref,
+):
+    """Whole-scene closest hit with MXU leaf visits (see
+    ``_bvh4_scene_closest_kernel`` for the seeding/flip semantics)."""
+    from .intersect_pallas import _sweep_prims
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ps_t, ps_i, ps_nx, ps_ny, ps_nz, ps_u, ps_v = _sweep_prims(
+        ps_ref, ps_layout, ox, oy, oz, dx, dy, dz, t_min, t_max,
+        want_attrs=True,
+    )
+    bt, bi, bu, bv, nx, ny, nz = _bvh4_walk(
+        m4, leaf_size, t_min, tree_ref, slot_ref, stack_ref, jnp.int32(0),
+        ox, oy, oz, dx, dy, dz, ps_t, ps_i,
+        with_attrs=True, attrs0=(ps_u, ps_v, ps_nx, ps_ny, ps_nz),
+        gid_offset=gid_offset, featm=featm_ref[:], leafmat_ref=leafmat_ref,
+    )
+    is_tri = bi >= gid_offset
+    flip = is_tri & (nx * dx + ny * dy + nz * dz > 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    bt_ref[:] = bt
+    bi_ref[:] = bi
+    bu_ref[:] = bu
+    bv_ref[:] = bv
+    nx_ref[:] = nx * sgn
+    ny_ref[:] = ny * sgn
+    nz_ref[:] = nz * sgn
 
 
 def _bvh4_closest_rooted_kernel(
@@ -1315,9 +1439,9 @@ def _feat_matrix(ro: V3, rd: V3, limit_v) -> jnp.ndarray:
     m = ro.cross(rd)
     one = jnp.ones_like(ro.x)
     zero = jnp.zeros_like(ro.x)
+    lim = jnp.broadcast_to(jnp.asarray(limit_v, jnp.float32), ro.x.shape)
     return jnp.stack([
-        rd.x, rd.y, rd.z, m.x, m.y, m.z, ro.x, ro.y, ro.z, one,
-        jnp.asarray(limit_v, jnp.float32),
+        rd.x, rd.y, rd.z, m.x, m.y, m.z, ro.x, ro.y, ro.z, one, lim,
         zero, zero, zero, zero, zero,
     ])
 
@@ -1654,6 +1778,25 @@ def bvh_closest_attrs_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
 
         f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
         i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+        if _mxu_leaf_ok(bvh):
+            featm = _feat_matrix(o, d, 0.0)
+            fspec = pl.BlockSpec((16, block_rows * LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+            vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+            outs = pl.pallas_call(
+                partial(_bvh4_closest_attrs_mxu_kernel, m4, leaf_size,
+                        float(t_min), float(t_max)),
+                grid=(rows // block_rows,),
+                in_specs=[smem, smem, vmem_full] + [spec] * 6 + [fspec],
+                out_specs=[spec] * 7,
+                out_shape=[f32, i32, f32, f32, f32, f32, f32],
+                scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+            )(
+                bvh.quad_blob, bvh.slot_blob, bvh.leaf_mat,
+                rows2(o.x), rows2(o.y), rows2(o.z),
+                rows2(d.x), rows2(d.y), rows2(d.z), featm,
+            )
+            return tuple(a.reshape(n) for a in outs)
         outs = pl.pallas_call(
             partial(_bvh4_closest_attrs_kernel, m4, leaf_size,
                     float(t_min), float(t_max)),
@@ -1714,6 +1857,25 @@ def bvh_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float, t_max: float):
 
         f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
         i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+        if _mxu_leaf_ok(bvh):
+            featm = _feat_matrix(o, d, 0.0)
+            fspec = pl.BlockSpec((16, block_rows * LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+            vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+            outs = pl.pallas_call(
+                partial(_bvh4_scene_closest_mxu_kernel, m4, leaf_size, layout,
+                        gid_offset, float(t_min), float(t_max)),
+                grid=(rows // block_rows,),
+                in_specs=[smem, smem, smem, vmem_full] + [spec] * 6 + [fspec],
+                out_specs=[spec] * 7,
+                out_shape=[f32, i32, f32, f32, f32, f32, f32],
+                scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
+            )(
+                bvh.quad_blob, bvh.slot_blob, ps_blob, bvh.leaf_mat,
+                rows2(o.x), rows2(o.y), rows2(o.z),
+                rows2(d.x), rows2(d.y), rows2(d.z), featm,
+            )
+            return tuple(a.reshape(n) for a in outs)
         outs = pl.pallas_call(
             partial(_bvh4_scene_closest_kernel, m4, leaf_size, layout,
                     gid_offset, float(t_min), float(t_max)),

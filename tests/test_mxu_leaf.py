@@ -115,6 +115,59 @@ def test_mxu_any_matches_scalar_scene(interpreted_pallas, monkeypatch, limit):
     np.testing.assert_array_equal(occ_scalar, occ_mxu)
 
 
+def test_mxu_closest_matches_scalar_scene(interpreted_pallas, monkeypatch):
+    """Whole-scene closest hit + attrs: MXU leaf visits vs scalar slot
+    tests.  t/u/v are single-rounded (num/det) on the MXU path where the
+    scalar path double-rounds (inv_det*num), so compare with f32-ulp
+    tolerances; ids must agree except at exact-t ties."""
+    scene = _soup_scene(48, seed=41)
+    cs = compile_scene(scene, use_bvh=True)
+    ro, rd = _rays(512, 42)
+
+    hit_s = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_MXU_LEAF", True)
+    hit_m = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_array_equal(np.asarray(hit_s.hit), np.asarray(hit_m.hit))
+    np.testing.assert_allclose(np.asarray(hit_s.t), np.asarray(hit_m.t),
+                               rtol=1e-5, atol=1e-5)
+    same = np.asarray(hit_s.prim) == np.asarray(hit_m.prim)
+    assert same.mean() > 0.99
+    h = np.asarray(hit_s.hit) & same
+    for a, b in ((hit_s.u, hit_m.u), (hit_s.v, hit_m.v),
+                 (hit_s.normal.x, hit_m.normal.x),
+                 (hit_s.normal.y, hit_m.normal.y),
+                 (hit_s.normal.z, hit_m.normal.z)):
+        np.testing.assert_allclose(np.asarray(a)[h], np.asarray(b)[h],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_closest_attrs_whole_tree(interpreted_pallas, monkeypatch):
+    """Direct bvh_closest_attrs_pallas path (no ps seeding)."""
+    scene = _soup_scene(40, seed=51)
+    cs = compile_scene(scene, use_bvh=True)
+    bvh = cs.bvh
+    ro, rd = _rays(512, 52)
+
+    bt_s, bi_s, bu_s, bv_s, n_s = bp.bvh_closest_attrs_pallas(
+        bvh, ro, rd, 1e-3, 1e6)
+    monkeypatch.setattr(bp, "BVH_MXU_LEAF", True)
+    bt_m, bi_m, bu_m, bv_m, n_m = bp.bvh_closest_attrs_pallas(
+        bvh, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_allclose(np.asarray(bt_s), np.asarray(bt_m),
+                               rtol=1e-5, atol=1e-5)
+    same = np.asarray(bi_s) == np.asarray(bi_m)
+    assert same.mean() > 0.99
+    h = (np.asarray(bi_s) >= 0) & same
+    np.testing.assert_allclose(np.asarray(bu_s)[h], np.asarray(bu_m)[h],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bv_s)[h], np.asarray(bv_m)[h],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(n_s.x)[h], np.asarray(n_m.x)[h],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_mxu_any_whole_tree_and_dont_care(interpreted_pallas, monkeypatch):
     """Direct bvh_any_pallas path incl. don't-care (limit <= 0) lanes."""
     import jax.numpy as jnp
