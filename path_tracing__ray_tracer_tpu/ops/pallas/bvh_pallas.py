@@ -738,7 +738,10 @@ def _leaf_any_mxu(leafmat_ref, featm, base_f, leaf_size, t_min,
         & (ud >= 0.0) & (ud <= s2) & (vd >= 0.0) & (ud + vd <= s2)
         & (td > t_min * s2) & (td < limw * s2)
     )
-    hit_n = jnp.any(win, axis=0, keepdims=True).reshape(box_hit.shape)
+    # bool (1, W) -> (R, 128) shape casts don't lower (vector<i1> reshape);
+    # relayout in f32 and re-threshold
+    hit_w = jnp.any(win, axis=0, keepdims=True).astype(jnp.float32)
+    hit_n = hit_w.reshape(box_hit.shape) > 0.5
     return jnp.maximum(found, (hit_n & box_hit).astype(jnp.float32))
 
 
@@ -1412,12 +1415,18 @@ BVH_ATTRS = os.environ.get("PTRT_BVH_ATTRS", "1") != "0"
 # (implies BVH_ATTRS semantics); same interpret-verified escape-hatch
 # pattern: PTRT_BVH_SCENE=0 reverts to the split path without code edits.
 BVH_SCENE = os.environ.get("PTRT_BVH_SCENE", "1") != "0"
-# MXU leaf visits in the occlusion walks (``_leaf_any_mxu``): one matmul
+# MXU leaf visits (``_leaf_any_mxu`` / ``_leaf_closest_mxu``): one matmul
 # against the ``pack_leaf_mat`` coefficient table replaces the 16 serial
 # Möller–Trumbore slot tests — the leaf test is the measured majority of
 # the BVH4 walk.  Decision-equivalent to the scalar path up to f32 rounding
-# of the linear forms (edge-boundary rays may flip, measure-zero).  Env
-# hatch PTRT_BVH_MXU_LEAF=0/1.
+# of the linear forms (edge-boundary rays may flip, measure-zero).
+# MEASURED LOSS on v5e (the sixth negative, BENCHMARKS.md): any-walk kernel
+# 12.74 vs 5.59 ms (0.44×), config-5 e2e 5.8 vs 3.1 s (0.53×), exact match
+# 1.0 both levels — the per-visit (128, W) matmul sits on the walk's serial
+# critical path (its latency can't pipeline against anything) and its
+# result roundtrips VMEM every visit, which costs more than the 16
+# ILP-rich VPU slot tests it replaces.  Kept gated off; env hatch
+# PTRT_BVH_MXU_LEAF=0/1.
 BVH_MXU_LEAF = os.environ.get("PTRT_BVH_MXU_LEAF", "0") != "0"
 # the leaf coefficient table is a VMEM operand: (16, G·128) f32 = 8 KB per
 # 16-triangle leaf group.  Budget well under the ~16 MB VMEM so the ray
