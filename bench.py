@@ -21,8 +21,12 @@ WIDTH = HEIGHT = 1024
 DEPTH = 8
 # large sample groups amortize the regeneration tail phase and per-call
 # dispatch: measured 175 ms / 16-sample group vs 336 ms / 64-sample group
-# per 131072-pixel chunk (2.1x better per sample)
-GROUP_SPP = 64
+# per 131072-pixel chunk (2.1x better per sample); the round-3 sweep
+# extension (experiments/measure_group128.py, interleaved A/B at budget 0)
+# measured group 128 / chunk 1<<24 at 212.6-213.7 vs group 64 / chunk 1<<23
+# at 207.4-209.4 Mrays/s — same 131072-lane kernel, half the tails/dispatches
+GROUP_SPP = 128
+CHUNK_RAYS = 1 << 24
 BATCHES = 3
 # 0 = the reference-exact full-resolution atlas.  Round 3 re-based the
 # headline onto this honest config after measuring that the round-2
@@ -58,7 +62,7 @@ def main() -> int:
         width=WIDTH, height=HEIGHT, samples_per_pixel=GROUP_SPP, max_depth=DEPTH
     )
     renderer = ptrt.RendererFactory.create(
-        "tpu_path_raytracer", sample_group=GROUP_SPP, chunk_rays=1 << 23,
+        "tpu_path_raytracer", sample_group=GROUP_SPP, chunk_rays=CHUNK_RAYS,
         texture_budget=TEXTURE_BUDGET,
     )
 
