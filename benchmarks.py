@@ -46,10 +46,13 @@ def run_config(idx: int, scale: float) -> dict:
         3: ("tpu_texture_raytracer", cornell, dict(width=512, height=512,
                                                    samples_per_pixel=spp(256),
                                                    max_depth=8), {}),
+        # sample_group 128 / chunk 1<<24: the measured knee of the group
+        # sweep (experiments/measure_group128.py / measure_group256.py —
+        # 128 beats 64 by ~2.5%, 256 loses ~9%); same 131072-lane kernel.
         4: ("tpu_path_raytracer", cornell, dict(width=1024, height=1024,
                                                 samples_per_pixel=spp(1024),
                                                 max_depth=8),
-            dict(texture_budget=256, sample_group=16, chunk_rays=1 << 21)),
+            dict(texture_budget=256, sample_group=128, chunk_rays=1 << 24)),
         # mesh-heavy BVH stress: the block-synchronous Pallas traversal
         # (ops/pallas/bvh_pallas.py) walks the SAH tree from SMEM — the
         # gather-free replacement for the round-1 XLA walk that lost to
