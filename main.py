@@ -161,7 +161,10 @@ def main(argv=None) -> int:
     resolved_name = RendererFactory.resolve(args.renderer)
     chunk_rays = args.chunk_rays
     if chunk_rays is None:
-        chunk_rays = 1 << 23 if resolved_name == "tpu_path_raytracer" else 1 << 21
+        # path tracer: 1<<24 items / group 128 = the measured 131072-lane
+        # knee (experiments/measure_group128.py); Whitted renderers keep
+        # the smaller chunk (their megakernel sweeps all 16 lights per lane)
+        chunk_rays = 1 << 24 if resolved_name == "tpu_path_raytracer" else 1 << 21
     kwargs = {
         "chunk_rays": chunk_rays,
         "seed": args.seed,

@@ -909,13 +909,19 @@ def _path_chunk(
 class TPUPathTracer(WavefrontRenderer):
     """Parity renderer for ``cuda_path_raytracer`` — the flagship model."""
 
-    def __init__(self, sample_group: int = 64, jitter: str = "independent",
+    def __init__(self, sample_group: int = 128, jitter: str = "independent",
                  shadow_tmax: str = "reference", mip_budget: int = 0,
                  texture_lod: int = 0, texture_lod_depth: int = 2, **kw):
-        # sample_group 64: the measured knee of the group sweep on BOTH the
-        # Cornell bench (64/32/16/8 -> 219/191/188/156 Mrays/s) and the mesh
-        # benchmark (groups 8/16/32/64 -> 54.8/49.6/39.3/37.8 s steady) —
-        # bigger groups amortize dispatch overhead and regeneration tails.
+        # sample_group 128: the measured knee of the group sweep — Cornell
+        # bench 8/16/32/64 -> 156/188/191/219 Mrays/s (budget 256), then the
+        # round-3 extension at budget 0: group 128 beats 64 by ~2.5% and
+        # group 256 loses ~9% (experiments/measure_group128.py /
+        # measure_group256.py); mesh benchmark best at its spp cap of 64
+        # (54.8/49.6/39.3/37.8 s steady at groups 8/16/32/64).  Bigger
+        # groups amortize dispatch overhead and regeneration tails; the
+        # (NS, N) accumulator fold scales with NS and wins past 128.
+        # Groups clamp to spp, and renders are group-invariant bit-for-bit
+        # (tests/test_regen.py), so this is a pure scheduling knob.
         # independent x/y jitter by default: strictly better sampling, and the
         # reference hero image is a missing blob so there is no RMSE target
         # (BASELINE.md); pass jitter="diagonal" for the quirk-exact stream.
