@@ -1,15 +1,15 @@
-"""sample_group 128 A/B at the honest bench config (budget 0).
+"""sample_group 256 vs 128 A/B at the honest bench config (budget 0).
 
-The round-2/3 group sweep (measure_group.py) stopped at 64 — the knee from
-below (8/16/32/64 -> 156/188/191/219 Mrays/s at budget 256).  Doubling the
-group to 128 halves the number of regeneration tails and chunk dispatches
-per spp; the costs that scale with NS (the (NS, N) accumulator fold, the
-NS-roll re-binning) were measured small after the slot-buffered fold.  To
-keep the Mosaic megakernel shape (N = chunk_rays // group = 131072 lanes)
-on the warm compile cache, group 128 pairs with chunk_rays 1<<24.
+Extends the group sweep one more doubling past the measure_group128 result
+(128 beat 64 by ~2.5%).  Group 256 pairs with chunk_rays 1<<25 so both
+configs run the SAME 131072-lane kernel (N = chunk_rays // group); only the
+per-chunk item count and the (NS, N) accumulator/re-binning shapes change.
+Measured: group 256 LOSES ~9% (194.9–195.7 vs 212.6–213.7 Mrays/s) — the
+(NS, N) one-hot fold and the NS-roll re-binning scale with NS and overtake
+the halved tail/dispatch savings.  128 is the knee and the shipped default.
 
 Interleaved A/B/A/B over varied sample offsets (tunnel memoizes identical
-buffers; contention noise is additive, min is the estimator).
+buffers; contention noise is additive, best-of is the estimator).
 """
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")

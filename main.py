@@ -163,7 +163,9 @@ def main(argv=None) -> int:
     if chunk_rays is None:
         # path tracer: 1<<24 items / group 128 = the measured 131072-lane
         # knee (experiments/measure_group128.py); Whitted renderers keep
-        # the smaller chunk (their megakernel sweeps all 16 lights per lane)
+        # the smaller chunk (their megakernel sweeps all 16 lights per lane).
+        # When spp < 128 clamps the group, the renderer's lane-width cap
+        # (wavefront._MAX_CHUNK_LANES) keeps the kernel at 131072 lanes.
         chunk_rays = 1 << 24 if resolved_name == "tpu_path_raytracer" else 1 << 21
     kwargs = {
         "chunk_rays": chunk_rays,

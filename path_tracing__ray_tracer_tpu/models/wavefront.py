@@ -46,6 +46,14 @@ from .base import BaseRenderer
 # floor-bound anyway — they skip batching via the ray target).
 _DISPATCH_TARGET_RAYS = 64_000_000
 _DISPATCH_BATCH_MAX = 32
+# Lane-width cap for one chunk dispatch.  The measured knee of the chunk
+# sweep is 131072 lanes (BENCHMARKS.md: group 64 / chunk 1<<24 = 262144
+# lanes measured 168.7 vs ~207 Mrays/s at 131072 — lane width, not item
+# count, is what hurt; the winning 1<<24 config doubles the sample group
+# instead).  ``_plan`` derives n_pix from chunk_rays // group and then caps
+# it here, so a CLI chunk default tuned for group 128 cannot silently double
+# lane width when a lower spp clamps the group (ADVICE.md round 3).
+_MAX_CHUNK_LANES = 131072
 # Device-sums group batching: when one pixel chunk's FULL sample loop stays
 # under this ray budget (and the scene has no BVH — tree walks run ~5-20×
 # slower per ray), _render_device_u8 drives all of a chunk's sample groups
@@ -84,10 +92,18 @@ class WavefrontRenderer(BaseRenderer):
         texture_budget: int = 0,  # 0 = reference-exact full-res atlas
         compile_overrides: Optional[dict] = None,  # extra compile_scene kwargs
         device: Optional[str] = None,  # None = session default; "cpu" = host
+        reseed_per_render: bool = False,  # reference frame_count reseed quirk
     ):
         super().__init__(name)
         self.chunk_rays = int(chunk_rays)
         self.seed = int(seed)
+        # Opt-in parity with the reference's per-render RNG advance: its
+        # frame_count reseeds the kernel each render() call
+        # (cuda_path_tracer.py:28,739,809), so back-to-back renders in one
+        # process produce different noise.  Default off — renders stay
+        # deterministic per (seed, settings), the documented invariant
+        # (QUIRKS.md); progressive accumulation is the better replacement.
+        self.reseed_per_render = bool(reseed_per_render)
         assert jitter in ("diagonal", "independent", "center"), jitter
         self.jitter = jitter
         self.mesh = mesh
@@ -99,6 +115,15 @@ class WavefrontRenderer(BaseRenderer):
         # progressive-accumulation hook (reference frame_count analogue,
         # cuda_path_tracer.py:739)
         self.frame_count = 0
+
+    def _run_seed(self) -> int:
+        """Seed for this render: mixes ``frame_count`` in when the reference
+        reseed quirk is opted in (``ray_key`` hashes the seed, so +1 yields an
+        independent stream, matching the reference's ``seed + frame_count``
+        behavior at cuda_path_tracer.py:28)."""
+        if self.reseed_per_render:
+            return (self.seed + self.frame_count) & 0xFFFFFFFF
+        return self.seed
 
     # -- execution placement ---------------------------------------------------
     def _device_scope(self):
@@ -166,7 +191,8 @@ class WavefrontRenderer(BaseRenderer):
         device as the single-chip path.
         """
         group = self._samples_per_group(spp)
-        n_pix = max(1024, min(w * h, max(1, self.chunk_rays // max(group, 1))))
+        n_pix = max(1024, min(w * h, max(1, self.chunk_rays // max(group, 1)),
+                              _MAX_CHUNK_LANES))
         n_pix = int(math.ceil(n_pix / 1024) * 1024)
 
         if self.mesh is None:
@@ -246,7 +272,7 @@ class WavefrontRenderer(BaseRenderer):
                         cs,
                         cam12,
                         jnp.asarray(batch, jnp.int32),
-                        jnp.uint32(self.seed),
+                        jnp.uint32(self._run_seed()),
                         jnp.int32(sample_offset),
                     )
                     pending.append((batch, out.to_array()))
@@ -258,7 +284,7 @@ class WavefrontRenderer(BaseRenderer):
                             cs,
                             cam12,
                             jnp.int32(pix0),
-                            jnp.uint32(self.seed),
+                            jnp.uint32(self._run_seed()),
                             jnp.int32(s0),
                         )
                         chunk_sum = out if chunk_sum is None else jax.tree.map(jnp.add, chunk_sum, out)
@@ -322,7 +348,7 @@ class WavefrontRenderer(BaseRenderer):
                 cs,
                 cam12,
                 jnp.asarray(pix0_list, jnp.int32),
-                jnp.uint32(self.seed),
+                jnp.uint32(self._run_seed()),
                 jnp.int32(0),
             )
             arr = np.asarray(out)  # single host sync + u8 transfer
@@ -506,14 +532,14 @@ class WavefrontRenderer(BaseRenderer):
                 if fuse_groups:
                     buf = self._jit_cache[key_acc](
                         buf, cs, cam12, jnp.int32(pix0),
-                        jnp.uint32(self.seed), jnp.int32(0),
+                        jnp.uint32(self._run_seed()), jnp.int32(0),
                     )
                     continue
                 for gi, s0 in enumerate(range(0, spp, group)):
                     step = self._jit_cache[key_acc if gi == 0 else key_add]
                     buf = step(
                         buf, cs, cam12, jnp.int32(pix0),
-                        jnp.uint32(self.seed), jnp.int32(s0),
+                        jnp.uint32(self._run_seed()), jnp.int32(s0),
                     )
             arr = np.asarray(self._jit_cache[key_fin](buf))
         return arr

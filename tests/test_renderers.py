@@ -75,6 +75,22 @@ def test_deterministic_same_seed(cornell):
     assert (a != c).any()
 
 
+def test_reseed_per_render_quirk(cornell):
+    """Opt-in parity with the reference's per-render RNG advance
+    (``cuda_path_tracer.py:28,739,809``): frame_count reseeds the kernel each
+    ``render()``, so back-to-back renders differ.  Default stays off — the
+    determinism invariant (two renders identical) is tested above."""
+    scene, cam = cornell
+    s = ptrt.RenderSettings(**SMALL)
+    r = ptrt.RendererFactory.create("tpu_path_raytracer", reseed_per_render=True)
+    a = np.asarray(r.render(scene, cam, s))
+    b = np.asarray(r.render(scene, cam, s))
+    assert (a != b).any(), "reseed_per_render renders should differ"
+    # frame 0 of the opted-in renderer equals the default renderer's output
+    c = np.asarray(ptrt.RendererFactory.create("tpu_path_raytracer").render(scene, cam, s))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_shadow_tmax_light_mode(cornell):
     """``shadow_tmax="light"`` bounds NEE occlusion at the sampled light;
     relaxing the 1e6 quirk can only *remove* shadowing, so per-pixel radiance
