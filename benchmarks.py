@@ -69,6 +69,15 @@ def run_config(idx: int, scale: float) -> dict:
             dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
             dict(sample_group=64, chunk_rays=1 << 23, shadow_tmax="light",
                  compile_overrides={"use_bvh": True})),
+        # 5b (round 4): 128,000-triangle stress — 25 icospheres at 4
+        # subdivisions.  Exercises the two-level PAGED traversal
+        # (ops/pallas/bvh_paged_pallas.py): the tree no longer fits SMEM, so
+        # subtree pages stream from HBM per block.  Run explicitly with
+        # --configs 6; not part of the BASELINE.json five.
+        6: ("tpu_path_raytracer", MeshSceneBuilder(grid=5, subdivisions=4),
+            dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
+            dict(sample_group=64, chunk_rays=1 << 23, shadow_tmax="light",
+                 compile_overrides={"use_bvh": True})),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]
     scene = builder.build_scene()

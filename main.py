@@ -35,12 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--scene",
-        choices=["original", "custom", "mesh"],
+        choices=["original", "custom", "mesh", "mesh_big"],
         default="custom",
         help=(
             "scene selection ('original' is accepted-but-ignored for flag "
-            "parity with the reference; 'mesh' is the BVH-stress icosphere "
-            "scene)"
+            "parity with the reference; 'mesh' is the 11.5K-triangle "
+            "BVH-stress icosphere scene, 'mesh_big' the 128K-triangle "
+            "paged-traversal stress)"
         ),
     )
     parser.add_argument("--width", "-w", type=int, default=2000, help="image width")
@@ -146,12 +147,13 @@ def main(argv=None) -> int:
     print(f"Backend: {platform}")
 
     print(f"Building scene: {args.scene}")
-    if args.scene == "mesh":
+    if args.scene in ("mesh", "mesh_big"):
         from path_tracing__ray_tracer_tpu.scene_builders.mesh_scene_builder import (
             MeshSceneBuilder,
         )
 
-        builder = MeshSceneBuilder()
+        builder = (MeshSceneBuilder(grid=5, subdivisions=4)
+                   if args.scene == "mesh_big" else MeshSceneBuilder())
     else:
         builder = CustomSceneBuilder()
     scene = builder.build_scene()

@@ -484,8 +484,20 @@ def compile_scene(
         # stored normals ride in the slot records so the attrs walk is
         # bit-identical to a triangles.normal gather
         nrm = np.stack([np.asarray(t.normal.to_np()) for t in tris])
+        # per-triangle unique-material ids pack into the slot gid field when
+        # the scene has a compressed material table and the counts fit the
+        # f32-exact range — enables the whole-bounce BVH megakernel
+        # (ops/pallas/bounce_bvh_pallas.py) to resolve the winner's material
+        # gather-free in-kernel
+        from .ops.pallas.bvh_pallas import GID_UID_SHIFT
+
+        tri_uid = None
+        if mat_uid is not None and len(tris) <= GID_UID_SHIFT:
+            tri_base = p_pad + s_pad + q_pad
+            tri_uid = uid[tri_base : tri_base + len(tris)].astype(np.int32)
         flat_bvh = bvh_mod.to_device(
-            bvh_mod.build_bvh(tri_min, tri_max), v0=v0, v1=v1, v2=v2, nrm=nrm
+            bvh_mod.build_bvh(tri_min, tri_max), v0=v0, v1=v1, v2=v2, nrm=nrm,
+            uid=tri_uid,
         )
 
     tri_textured = any(

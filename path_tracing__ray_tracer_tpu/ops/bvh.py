@@ -67,6 +67,15 @@ class FlatBVH(NamedTuple):
     # (16, G·128) f32 leaf coefficient matrix for the MXU leaf test
     # (pallas/bvh_pallas.pack_leaf_mat); None when built without vertices
     leaf_mat: jnp.ndarray = None
+    # shape-encoded flag: (1,) when the slot-blob gids carry packed
+    # unique-material ids (pallas/bvh_pallas.GID_UID_SHIFT), None otherwise.
+    # Closest-walk wrappers decode; the whole-bounce BVH megakernel reads
+    # the winner's material gather-free from the packed uid.
+    uid_token: jnp.ndarray = None
+    # two-level (paged) blobs for trees too big for the SMEM-resident walk
+    # (pallas/bvh_paged_pallas.PagedBlobs); None when the one-level blobs
+    # fit SMEM or paging is not applicable
+    paged: object = None
 
     @property
     def n_nodes(self) -> int:
@@ -222,20 +231,24 @@ def build_bvh(
 
 
 def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
-              v2: np.ndarray = None, nrm: np.ndarray = None) -> FlatBVH:
+              v2: np.ndarray = None, nrm: np.ndarray = None,
+              uid: np.ndarray = None) -> FlatBVH:
     """Upload a ``build_bvh`` result; with triangle vertices also pack the
     scalar blobs that enable the Pallas block-synchronous traversal.
     ``nrm`` should be the same stored unit normals as ``triangles.normal``
-    so the in-kernel attrs path is bit-identical to the gather path."""
+    so the in-kernel attrs path is bit-identical to the gather path.
+    ``uid`` (per-triangle unique-material ids, optional) packs into the slot
+    gid field for the whole-bounce megakernel (bvh_pallas.GID_UID_SHIFT);
+    pass only when the counts fit the f32-exact packing range."""
     tree_blob = slot_blob = depth_token = None
-    quad_blob = quad_depth_token = leaf_mat = None
+    quad_blob = quad_depth_token = leaf_mat = uid_token = paged = None
     if v0 is not None:
         from .pallas.bvh_pallas import pack_blobs, pack_blobs4, pack_leaf_mat
 
         tree_np, slot_np, depth = pack_blobs(arrs, np.asarray(v0, np.float32),
                                              np.asarray(v1, np.float32),
                                              np.asarray(v2, np.float32),
-                                             nrm=nrm)
+                                             nrm=nrm, uid=uid)
         tree_blob = jnp.asarray(tree_np)
         slot_blob = jnp.asarray(slot_np)
         # static tree-depth carrier: jit args lose Python ints, shapes survive
@@ -246,8 +259,22 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
             quad_depth_token = jnp.zeros((depth4,), jnp.int8)
         leaf_mat = jnp.asarray(pack_leaf_mat(
             arrs, np.asarray(v0, np.float32), np.asarray(v1, np.float32),
-            np.asarray(v2, np.float32), nrm=nrm,
+            np.asarray(v2, np.float32), nrm=nrm, uid=uid,
         ))
+        if uid is not None:
+            uid_token = jnp.zeros((1,), jnp.int8)
+        # trees too big for the one-level SMEM walk get the two-level paged
+        # layout instead (top tree in SMEM, subtree pages streamed from HBM)
+        from .pallas.bvh_pallas import SMEM_BLOB_LIMIT, fits_smem_bvh
+        from .pallas.bvh_paged_pallas import pack_paged
+
+        one_level = (quad_blob if quad_blob is not None else tree_blob)
+        if (int(one_level.shape[1]) + int(slot_blob.shape[1])
+                > SMEM_BLOB_LIMIT):
+            paged = pack_paged(
+                arrs, np.asarray(v0, np.float32), np.asarray(v1, np.float32),
+                np.asarray(v2, np.float32), nrm=nrm, uid=uid,
+            )
     return FlatBVH(
         lo=jnp.asarray(arrs["lo"]),
         hi=jnp.asarray(arrs["hi"]),
@@ -260,6 +287,8 @@ def to_device(arrs, v0: np.ndarray = None, v1: np.ndarray = None,
         quad_blob=quad_blob,
         quad_depth_token=quad_depth_token,
         leaf_mat=leaf_mat,
+        uid_token=uid_token,
+        paged=paged,
     )
 
 

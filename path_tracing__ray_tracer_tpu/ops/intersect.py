@@ -241,6 +241,44 @@ def _bvh_pallas_enabled(cs, n: int) -> bool:
     return enabled
 
 
+def _bvh_paged_enabled(cs, n: int) -> bool:
+    """Gate for the two-level paged traversal
+    (``pallas/bvh_paged_pallas``): used when the tree is too big for the
+    SMEM-resident walk but carries the paged blobs."""
+    if cs.bvh is None or getattr(cs.bvh, "paged", None) is None:
+        return False
+    from .pallas.bvh_paged_pallas import paged_ok
+
+    if not paged_ok(cs.bvh):
+        return False
+    if USE_PALLAS is not None:
+        enabled = bool(USE_PALLAS)
+    else:
+        try:
+            enabled = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+    return enabled and n % 128 == 0
+
+
+def _bvh_bounce_enabled(cs, n: int) -> bool:
+    """Gate for the whole-bounce BVH megakernel
+    (``pallas/bounce_bvh_pallas``): the scene-shape gates plus the same
+    backend/override rules as ``_bvh_pallas_enabled``."""
+    from .pallas.bounce_bvh_pallas import bounce_bvh_ok
+
+    if not bounce_bvh_ok(cs):
+        return False
+    if USE_PALLAS is not None:
+        enabled = bool(USE_PALLAS)
+    else:
+        try:
+            enabled = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+    return enabled and n % 128 == 0
+
+
 def _sweep(candidate_fn, cs, count, offset, ro, rd, t_min, best_t, best_idx):
     """Run one primitive type's loop, updating the (best_t, best_idx) carry."""
 
@@ -340,6 +378,14 @@ def scene_hit(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> SceneHi
             from .pallas.bvh_pallas import bvh_scene_closest_pallas
 
             fused = bvh_scene_closest_pallas(cs, ro, rd, t_min, t_max)
+            if fused is not None:
+                return _fused_scene_hit(cs, ro, rd, fused)
+        if _bvh_paged_enabled(cs, n[0]) and isinstance(t_max, (int, float)):
+            # two-level paged walk: top tree in SMEM, subtree pages streamed
+            # from HBM — removes the ~20K-triangle SMEM capacity cliff
+            from .pallas.bvh_paged_pallas import bvh_paged_scene_closest_pallas
+
+            fused = bvh_paged_scene_closest_pallas(cs, ro, rd, t_min, t_max)
             if fused is not None:
                 return _fused_scene_hit(cs, ro, rd, fused)
         ps_idx, ps_t, ps_hit = _closest_broadcast(
@@ -488,6 +534,12 @@ def scene_hit_any(cs: CompiledScene, ro: V3, rd: V3, t_min: float, t_max) -> jnp
             from .pallas.bvh_pallas import bvh_scene_any_pallas
 
             fused = bvh_scene_any_pallas(cs, ro, rd, t_min, limit)
+            if fused is not None:
+                return fused
+        if _bvh_paged_enabled(cs, n[0]):
+            from .pallas.bvh_paged_pallas import bvh_paged_scene_any_pallas
+
+            fused = bvh_paged_scene_any_pallas(cs, ro, rd, t_min, limit)
             if fused is not None:
                 return fused
         ro1, rd1 = _lift(ro), _lift(rd)

@@ -95,27 +95,26 @@ def _mat_sweep_select(mat_ref, n_mats: int, best_i):
     return fields
 
 
-def _bounce_core(
-    layout, n_mats: int, n_lights: int, t_min: float, t_max: float,
-    shadow_light: bool, blob_ref, mat_ref, light_ref,
-    depth_u32, ox, oy, oz, dx, dy, dz, thx, thy, thz, key,
+def _shade_scatter(
+    n_lights: int, light_ref, t_min: float, t_max: float, shadow_light: bool,
+    occl_fn, depth_u32, key, dx, dy, dz, thx, thy, thz,
+    hit, best_t, px, py, pz, nx, ny, nz, uu, vv, mats,
 ):
-    """The bounce physics shared by the per-bounce megakernel and the fused
-    step kernel (``_path_step_kernel``): closest-hit sweep, NEE, Russian
-    roulette, scatter event.  Returns the full weight record as values."""
-    # ---- closest hit with carried attributes -------------------------------
-    best_t, best_i, nx, ny, nz, uu, vv = _sweep_prims(
-        blob_ref, layout, ox, oy, oz, dx, dy, dz, t_min, t_max, want_attrs=True
-    )
-    hit = best_i >= 0
-    px = ox + dx * best_t
-    py = oy + dy * best_t
-    pz = oz + dz * best_t
+    """The shading half of a bounce — NEE light pick + shadow query, Russian
+    roulette, scatter event — shared by the SMEM-sweep megakernels and the
+    whole-bounce BVH megakernel (``bounce_bvh_pallas``), which differ only in
+    how they produce the hit record and answer the shadow query.
 
+    ``occl_fn(sox, soy, soz, ldx, ldy, ldz, bound, care) -> occluded`` runs
+    the occlusion test; ``care`` marks lanes whose NEE term is nonzero
+    regardless of occlusion — walk-based implementations park don't-care
+    lanes (their reported occlusion is True, which is unused because
+    ``w_nee`` is zero for them; same contract as models/path_tracer.py's
+    ``limit = -1`` lanes)."""
     (mr, mg, mb, diffuse, _spec, reflective, refractive, ior, has_tex, tex_id
-     ) = _mat_sweep_select(mat_ref, n_mats, best_i)
+     ) = mats
 
-    # ---- NEE: uniform light pick + shadow sweep (t_max quirk: 1e6) ----------
+    # ---- NEE: uniform light pick + shadow query (t_max quirk: 1e6) ----------
     w_nee = jnp.zeros_like(best_t)
     if n_lights > 0:
         r_light = _uniform(key, depth_u32, _U_LIGHT)
@@ -136,17 +135,14 @@ def _bounce_core(
         sox = px + nx * _EPS
         soy = py + ny * _EPS
         soz = pz + nz * _EPS
+        cos_t = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+        care = hit & (cos_t > 0.0) & (diffuse > 0.0)
         # shadow bound: the reference quirk scans to t_max=1e6 (occluders
-        # beyond the light still shadow); shadow_light bounds the sweep at
+        # beyond the light still shadow); shadow_light bounds the query at
         # the sampled light point (models/path_tracer.py shadow_tmax)
         shadow_bound = dist - 1e-3 if shadow_light else t_max
-        _st, occ_i, *_ = _sweep_prims(
-            blob_ref, layout, sox, soy, soz, ldx, ldy, ldz, t_min,
-            shadow_bound, want_attrs=False,
-        )
-        lit = occ_i < 0
+        lit = ~occl_fn(sox, soy, soz, ldx, ldy, ldz, shadow_bound, care)
 
-        cos_t = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
         glass_cls = refractive > 0.5
         mirror_cls = reflective > 0.7
         intensity = jnp.where(glass_cls, 4.0, jnp.where(mirror_cls, 2.5, 2.0))
@@ -249,6 +245,39 @@ def _bounce_core(
     return (hit, killed, w_nee, rr_scale, s_thr, t_thr,
             nox, noy, noz, ndx, ndy, ndz, uu, vv,
             jnp.where(has_tex > 0.5, tex_id, -1.0), mr, mg, mb)
+
+
+def _bounce_core(
+    layout, n_mats: int, n_lights: int, t_min: float, t_max: float,
+    shadow_light: bool, blob_ref, mat_ref, light_ref,
+    depth_u32, ox, oy, oz, dx, dy, dz, thx, thy, thz, key,
+):
+    """The bounce physics shared by the per-bounce megakernel and the fused
+    step kernel (``_path_step_kernel``): closest-hit sweep, NEE, Russian
+    roulette, scatter event.  Returns the full weight record as values."""
+    # ---- closest hit with carried attributes -------------------------------
+    best_t, best_i, nx, ny, nz, uu, vv = _sweep_prims(
+        blob_ref, layout, ox, oy, oz, dx, dy, dz, t_min, t_max, want_attrs=True
+    )
+    hit = best_i >= 0
+    px = ox + dx * best_t
+    py = oy + dy * best_t
+    pz = oz + dz * best_t
+
+    mats = _mat_sweep_select(mat_ref, n_mats, best_i)
+
+    def occl_sweep(sox, soy, soz, ldx, ldy, ldz, bound, _care):
+        _st, occ_i, *_ = _sweep_prims(
+            blob_ref, layout, sox, soy, soz, ldx, ldy, ldz, t_min, bound,
+            want_attrs=False,
+        )
+        return occ_i >= 0
+
+    return _shade_scatter(
+        n_lights, light_ref, t_min, t_max, shadow_light, occl_sweep,
+        depth_u32, key, dx, dy, dz, thx, thy, thz,
+        hit, best_t, px, py, pz, nx, ny, nz, uu, vv, mats,
+    )
 
 
 def _path_bounce_kernel(

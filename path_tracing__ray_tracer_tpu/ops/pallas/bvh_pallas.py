@@ -80,10 +80,41 @@ _SLOT_F = 13
 # compilation.  240K keeps headroom for the other scalar operands —
 # roughly 20K triangles at LEAF_SIZE=4.
 SMEM_BLOB_LIMIT = 240_000
+# Optional unique-material id packed into the slot gid field (zero SMEM
+# cost): gid = uid · 2^17 + tri_id, exact in f32 up to 2^24 (uid < 128 via
+# select_table.SELECT_LIMIT, tri_id < 2^17).  The whole-bounce BVH
+# megakernel (bounce_bvh_pallas) reads the winner's material without any
+# per-lane gather; every closest-walk kernel decodes the tri id back out
+# before emitting prim indices (``_decode_gid``).
+GID_UID_SHIFT = 1 << 17
+GID_TRI_MASK = GID_UID_SHIFT - 1
+
+
+def _pack_gid(tri: np.ndarray, uid) -> np.ndarray:
+    """Host-side slot gid values: plain tri ids, or uid-packed when ``uid``
+    (per-triangle unique-material ids) is provided."""
+    if uid is None:
+        return tri.astype(np.float64)
+    uid = np.asarray(uid)
+    assert tri.size == 0 or (
+        int(tri.max(initial=0)) < GID_UID_SHIFT
+        and int(uid.max(initial=0)) * GID_UID_SHIFT + GID_TRI_MASK < (1 << 24)
+    ), "packed gid exceeds the f32-exact integer range"
+    return uid[tri].astype(np.float64) * GID_UID_SHIFT + tri.astype(np.float64)
+
+
+def _decode_gid(bi: jnp.ndarray, packed: bool, offset: int = 0) -> jnp.ndarray:
+    """Strip the packed uid from a closest-walk winner id (miss = -1 and
+    ps winners < ``offset`` pass through).  Idempotent: decoding an already
+    plain id is the identity (its uid bits are zero)."""
+    if not packed:
+        return bi
+    tri = jnp.bitwise_and(bi - offset, jnp.int32(GID_TRI_MASK))
+    return jnp.where(bi >= offset, tri + offset, bi)
 
 
 def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-               nrm: np.ndarray = None):
+               nrm: np.ndarray = None, uid: np.ndarray = None):
     """Flatten a ``build_bvh`` result + triangle vertices into the two scalar
     blobs the kernel consumes.  Leaf triangles are re-ordered into contiguous
     ``LEAF_SIZE`` slot groups so a leaf visit is one dynamic base + static
@@ -92,7 +123,8 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     ``nrm`` (optional) is the per-triangle stored unit normal — pass the
     SAME array the scene compiler puts in ``triangles.normal`` so the
     in-kernel attrs path is bit-identical to the gather path; defaults to
-    the normalized cross product.
+    the normalized cross product.  ``uid`` (optional) packs each triangle's
+    unique-material id into the gid field (see ``GID_UID_SHIFT``).
 
     Returns ``(tree_blob, slot_blob, depth)`` — float32 ``(1, K)`` numpy
     arrays plus the tree's maximum node depth (root = 1), which bounds the
@@ -145,14 +177,14 @@ def pack_blobs(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     rec[rows, 0:3] = v0[tri]
     rec[rows, 3:6] = e1[tri]
     rec[rows, 6:9] = e2[tri]
-    rec[rows, 9] = tri.astype(np.float32)
+    rec[rows, 9] = _pack_gid(tri, uid).astype(np.float32)
     rec[rows, 10:13] = nrm[tri]
 
     return tree.reshape(1, -1), rec.reshape(1, -1), depth
 
 
 def pack_leaf_mat(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                  nrm: np.ndarray = None) -> np.ndarray:
+                  nrm: np.ndarray = None, uid: np.ndarray = None) -> np.ndarray:
     """Leaf-triangle coefficient matrix for the MXU leaf test.
 
     Möller–Trumbore's four decision quantities are each LINEAR in the
@@ -217,7 +249,7 @@ def pack_leaf_mat(arrs: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     put(4, [9], n[tri][:, 0])                                 # nx
     put(5, [9], n[tri][:, 1])                                 # ny
     put(6, [9], n[tri][:, 2])                                 # nz
-    put(7, [9], tri.astype(np.float64))                       # gid
+    put(7, [9], _pack_gid(tri, uid))                          # gid
     return P
 
 
@@ -313,6 +345,12 @@ def pack_blobs4(arrs: dict):
         sys.setrecursionlimit(limit)
 
     return np.stack(records).astype(np.float32).reshape(1, -1), max_depth[0]
+
+
+def _packed(bvh) -> bool:
+    """True when this tree's slot gids carry packed material uids (static:
+    shape-encoded by ``uid_token``, like ``depth_token``)."""
+    return getattr(bvh, "uid_token", None) is not None
 
 
 def fits_smem_bvh(bvh) -> bool:
@@ -1721,7 +1759,9 @@ def _bvh_closest_rooted(bvh, roots, ro: V3, rd: V3, en, bt0, bi0, t_min: float):
         rows2(rd.x), rows2(rd.y), rows2(rd.z),
         rows2(en.astype(jnp.float32)), rows2(bt0), rows2(bi0),
     )
-    return bt.reshape(n), bi.reshape(n)
+    # decode is idempotent, so re-decoding ids carried from a prior pass is
+    # safe (their uid bits are already zero)
+    return bt.reshape(n), _decode_gid(bi.reshape(n), _packed(bvh))
 
 
 def _bvh_closest_multipass(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
@@ -1833,7 +1873,7 @@ def bvh_closest_attrs_pallas(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
         )
     else:
         bt, bi, bu, bv, nx, ny, nz = run(ro, rd)
-    return bt, bi, bu, bv, V3(nx, ny, nz)
+    return bt, _decode_gid(bi, _packed(bvh)), bu, bv, V3(nx, ny, nz)
 
 
 def bvh_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float, t_max: float):
@@ -1912,7 +1952,8 @@ def bvh_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float, t_max: float):
         )
     else:
         bt, bi, bu, bv, nx, ny, nz = run(ro, rd)
-    return bt, bi, bu, bv, V3(nx, ny, nz)
+    return (bt, _decode_gid(bi, _packed(bvh), gid_offset), bu, bv,
+            V3(nx, ny, nz))
 
 
 def bvh_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
@@ -2081,7 +2122,7 @@ def _bvh_closest_unsorted(bvh, ro: V3, rd: V3, t_min: float, t_max: float):
         rows2(ro.x), rows2(ro.y), rows2(ro.z),
         rows2(rd.x), rows2(rd.y), rows2(rd.z),
     )
-    return bt.reshape(n), bi.reshape(n)
+    return bt.reshape(n), _decode_gid(bi.reshape(n), _packed(bvh))
 
 
 def bvh_any_pallas(bvh, ro: V3, rd: V3, t_min: float, limit):

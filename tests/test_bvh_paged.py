@@ -1,0 +1,115 @@
+"""Two-level (paged) BVH traversal vs the XLA reference walk.
+
+Interpret mode on CPU with shrunken SMEM/page budgets, so a small triangle
+soup exercises the real paged machinery: top-tree walk with pending-page
+bitmask, per-page DMA into SMEM scratch, carried best state across pages.
+On TPU the same path is exercised by the 100K-triangle mesh benchmark
+(config 5b).
+"""
+import numpy as np
+import pytest
+
+import path_tracing__ray_tracer_tpu as ptrt
+from path_tracing__ray_tracer_tpu.compiler import compile_scene
+from path_tracing__ray_tracer_tpu.ops import intersect
+from path_tracing__ray_tracer_tpu.ops.pallas import bvh_pallas, bvh_paged_pallas
+from path_tracing__ray_tracer_tpu.ops.v3 import V3
+
+
+@pytest.fixture
+def paged_small(monkeypatch):
+    """Force paging for tiny trees: shrink the SMEM limit (declines the
+    one-level walk) and the page budget (splits the tree into pages)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(intersect, "USE_PALLAS", True)
+    monkeypatch.setattr(bvh_pallas, "SMEM_BLOB_LIMIT", 2000)
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_BUDGET_FLOATS", 800)
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _soup_scene(n_tris, seed):
+    rng = np.random.default_rng(seed)
+    scene = ptrt.Scene()
+    mats = [
+        ptrt.Material(ptrt.Vec3(0.7, 0.6, 0.5), diffuse=0.8),
+        ptrt.Material(ptrt.Vec3(0.3, 0.5, 0.9), diffuse=0.6, reflective=0.3),
+    ]
+    for k in range(n_tris):
+        a = rng.uniform(-10, 10, 3)
+        b = a + rng.uniform(-2, 2, 3)
+        c = a + rng.uniform(-2, 2, 3)
+        scene.add_object(ptrt.Triangle(ptrt.Vec3(*a), ptrt.Vec3(*b),
+                                       ptrt.Vec3(*c), material=mats[k % 2]))
+    scene.add_object(ptrt.Sphere(ptrt.Vec3(0, 0, 0), 1.5, mats[0]))
+    scene.add_light_sample(ptrt.Vec3(0, 20, 0))
+    return scene
+
+
+def _rays(n, seed):
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return V3.from_array(ro), V3.from_array(rd)
+
+
+def test_pack_paged_structure(paged_small):
+    cs = compile_scene(_soup_scene(160, seed=2), use_bvh=True)
+    pg = cs.bvh.paged
+    assert pg is not None and 2 <= pg.n_pages <= bvh_paged_pallas.PAGES_MAX
+    # every triangle appears exactly once across top + page slot records
+    gids = []
+    for blob in [np.asarray(pg.top_slot)] + list(np.asarray(pg.page_slot)):
+        rec = np.asarray(blob).reshape(-1, bvh_pallas._SLOT_F)
+        gids.append(rec[rec[:, 9] >= 0, 9])
+    allg = np.concatenate(gids).astype(np.int64)
+    tri = allg & bvh_pallas.GID_TRI_MASK
+    np.testing.assert_array_equal(np.sort(tri), np.arange(160))
+    # gates fire
+    assert intersect._bvh_paged_enabled(cs, 256)
+    assert not bvh_pallas.fits_smem_bvh(cs.bvh)
+
+
+def test_paged_closest_matches_xla(paged_small):
+    scene = _soup_scene(160, seed=7)
+    cs = compile_scene(scene, use_bvh=True)
+    assert cs.bvh.paged is not None
+    assert bvh_paged_pallas._scene_paged_ok(cs), "paged kernels must engage"
+    ro, rd = _rays(256, 11)
+
+    hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = False
+    hit_x = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_array_equal(np.asarray(hit_k.hit), np.asarray(hit_x.hit))
+    np.testing.assert_allclose(np.asarray(hit_k.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
+    # prim ids agree except on exact-t ties (different visit order)
+    ka, xa = np.asarray(hit_k.prim), np.asarray(hit_x.prim)
+    diff = ka != xa
+    assert diff.mean() < 0.02
+    nk = np.stack([np.asarray(getattr(hit_k.normal, c)) for c in "xyz"], -1)
+    nx = np.stack([np.asarray(getattr(hit_x.normal, c)) for c in "xyz"], -1)
+    np.testing.assert_allclose(nk[~diff], nx[~diff], rtol=1e-5, atol=1e-5)
+
+
+def test_paged_any_matches_xla(paged_small):
+    scene = _soup_scene(160, seed=9)
+    cs = compile_scene(scene, use_bvh=True)
+    ro, rd = _rays(256, 13)
+    # mixed per-lane limits incl. don't-care lanes
+    rng = np.random.default_rng(5)
+    limit = rng.uniform(0.5, 30.0, 256).astype(np.float32)
+    limit[::7] = -1.0
+
+    import jax.numpy as jnp
+
+    occ_k = intersect.scene_hit_any(cs, ro, rd, 1e-3, jnp.asarray(limit))
+    intersect.USE_PALLAS = False
+    occ_x = intersect.scene_hit_any(cs, ro, rd, 1e-3, jnp.asarray(limit))
+    care = limit > 0.0
+    np.testing.assert_array_equal(
+        np.asarray(occ_k)[care], np.asarray(occ_x)[care]
+    )
