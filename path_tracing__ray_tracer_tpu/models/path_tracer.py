@@ -36,8 +36,7 @@ from ..ops import rng
 from ..ops.camera import generate_rays
 from ..ops.intersect import resolve_material, scene_hit, scene_hit_any
 from ..ops.sampling import cosine_hemisphere, pick_light
-from ..ops.pallas.texture_pallas import texel_index
-from ..ops.texture import resolve_base_color, resolve_base_color_lod
+from ..ops.texture import resolve_base_color
 from ..ops.tonemap import aces
 from ..ops.v3 import V3, refract
 from .base import RendererFactory
@@ -361,27 +360,6 @@ def _make_bounce_and_resolve(cs, width_hint: int, shadow_tmax: str = "reference"
     return bounce_fn, resolve_fn
 
 
-def _make_mip_resolve(cs):
-    """Secondary-bounce base-color resolver from the small mip atlas
-    (deferred-texture mode), or None when the scene has no mip."""
-    from ..ops.pallas.texture_pallas import (
-        fits_mip,
-        pack_mip_table,
-        resolve_base_color_mip,
-    )
-
-    if cs.mip_atlas is None or not fits_mip(cs):
-        return None
-    table = pack_mip_table(cs)
-
-    def resolve(out):
-        return resolve_base_color_mip(
-            cs, table, out.mat_color, out.tex_id, out.u, out.v
-        )
-
-    return resolve
-
-
 def _regen_chunk(
     cs,
     cam12,
@@ -431,48 +409,30 @@ def _regen_chunk(
     sample is identical to the per-sample loop's — only lane scheduling
     changes.
 
-    **Deferred-texture mode** (active when the scene carries a mip atlas,
-    ``compile_scene(mip_budget=...)``): the exact atlas gather — a flat
-    ~7 ns/lane on this backend, ~83% of a Cornell bounce — runs once per
-    *item* instead of once per *bounce*.  A path's radiance is linear in its
-    camera-bounce base color (each bounce's base enters its own NEE term and
-    the throughput as an exponent-0/1 factor), so the loop accumulates
-    ``A + base₀·B`` per item with base₀ symbolic: the camera bounce records
-    its exact texel index (vector math, no gather), bounces ≥ 1 sample the
-    small mip via the MXU one-hot kernel, and ONE bulk gather per chunk
-    resolves every item's base₀ at the fold.  RR/cutoff decisions use the
-    mip-estimated throughput, so with ``mip_budget == texture_budget`` the
-    mode reproduces the exact path bit-for-bit up to FMA reassociation
-    (tested); with a real (smaller) mip only secondary-bounce texture detail
-    is approximated — the camera-visible texture stays exact.
-
-    Measured outcome (round 3, BENCHMARKS.md "Deferred-texture mode"): a
-    NET LOSS on this backend — the HLO gather is flat ~7 ns/lane even for a
-    128-entry mip, and the defer bookkeeping costs more per chunk than the
-    per-bounce gather it removes.  Kept as a correct, tested, gated-off
-    capability; do not enable it for throughput.
+    The measured-negative modes — deferred-texture (``mip_budget``),
+    texture-LOD (``lod_depth``) and fused in-kernel regeneration
+    (``_PIPE_REGEN``) — are quarantined behind ``models/experimental.py``
+    (BENCHMARKS.md round 3 records); requesting any of them delegates there
+    so this production path stays single-mode.
     """
+    if pipe is None:
+        pipe = _PIPE_REGEN
+    if pipe or lod_depth > 0 or cs.mip_atlas is not None:
+        from .experimental import regen_chunk_modes
+
+        return regen_chunk_modes(
+            cs, cam12, pix0, seed, sample_base, n_pix=n_pix, width=width,
+            height=height, n_samples=n_samples, max_depth=max_depth,
+            jitter=jitter, shadow_tmax=shadow_tmax, lod_depth=lod_depth,
+            pipe=pipe,
+        )
+
     NS = int(n_samples)
     N = int(n_pix)
     STRIDE = (int(N * 0.6180339887) | 1) % N if (NS > 1 and _REGEN_SHUFFLE) else 0
     total = width * height
     iter_cap = NS * max_depth + 2  # loop provably terminates; belt-and-braces
     bounce_fn, resolve_fn = _make_bounce_and_resolve(cs, N, shadow_tmax)
-    # texture-LOD mode (``texture_lod``): bounces at depth >= lod_depth
-    # sample the small mip atlas instead of the full-res one — see
-    # resolve_base_color_lod.  Takes precedence over deferred-texture mode.
-    lod = lod_depth > 0 and cs.mip_atlas is not None
-    mip_resolve = None if lod else _make_mip_resolve(cs)
-    defer = mip_resolve is not None
-    # fused in-kernel regeneration (module note at _PIPE_REGEN): same gate as
-    # the bounce megakernel — the step kernel embeds the same SMEM sweep.
-    # ``pipe=None`` defers to the module default; the renderer threads the
-    # flag through the jit static key so A/B experiments don't share a cache.
-    from ..ops.intersect import _pallas_enabled
-
-    if pipe is None:
-        pipe = _PIPE_REGEN
-    use_pipe = pipe and not defer and not lod and _pallas_enabled(cs)
 
     def make_ray(lane_ids, s):
         """Camera ray + RNG key for lane ``lane_ids``'s item ``s`` — exactly
@@ -495,53 +455,21 @@ def _regen_chunk(
 
     def bounce_step(lane_ids, st):
         """One bounce for every lane; finished lanes regenerate in place.
-        Returns the new ray state plus this iteration's contributions and
-        item ids for the caller's accumulator.  In deferred mode ``thr`` is
-        the base₀-free throughput, ``e`` says whether base₀ is pending in it,
-        and ``b0m`` is the mip estimate of base₀ (RR/cutoff decisions use
-        ``thr·b0m^e`` so they match the exact path when mip == atlas)."""
-        if defer:
-            o, d, thr, key, depth, s, e, b0m = st
-        else:
-            o, d, thr, key, depth, s = st
-            e = b0m = None
+        Returns the new ray state plus this iteration's contribution, item
+        id and done mask for the caller's accumulator."""
+        o, d, thr, key, depth, s = st
         m = o.x.shape
         active = s < NS
-        thr_dec = V3.where(e, thr * b0m, thr) if defer else thr
-        out = bounce_fn(o, d, thr_dec, key, depth)
-        zero = V3.full(0.0, m)
-        if defer:
-            base = mip_resolve(out)
-            defer_now = (depth == 0) & (out.tex_id >= 0.0)
-            idx0 = texel_index(cs, out.tex_id, out.u, out.v)
-            full = thr * out.w_sky + thr * (base * out.w_nee)
-            cA = V3.where(defer_now, thr * out.w_sky, V3.where(e, zero, full))
-            cB = V3.where(defer_now, thr * out.w_nee, V3.where(e, full, zero))
-            cA = V3.where(active, cA, zero)
-            cB = V3.where(active, cB, zero)
-            base_thr = V3.where(defer_now, V3.full(1.0, m), base)
-            e2 = jnp.where(defer_now, out.t_thr > 0.0, e)
-            b0m2 = V3.where(defer_now, base, b0m)
-        else:
-            if lod:
-                base = resolve_base_color_lod(
-                    cs, out.mat_color, out.tex_id, out.u, out.v,
-                    depth < lod_depth,
-                )
-            else:
-                base = resolve_fn(out)
-            cA = thr * out.w_sky + thr * (base * out.w_nee)
-            cA = V3.where(active, cA, zero)
-            cB = idx0 = defer_now = None
-            base_thr = base
-            e2 = b0m2 = None
+        out = bounce_fn(o, d, thr, key, depth)
+        base = resolve_fn(out)
+        cA = thr * out.w_sky + thr * (base * out.w_nee)
+        cA = V3.where(active, cA, V3.full(0.0, m))
         live = active & out.hit & ~out.killed
         thr_new = thr * out.rr_scale * (
-            base_thr * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
+            base * out.t_thr + V3(out.s_thr, out.s_thr, out.s_thr)
         )
         thr = V3.where(live, thr_new, thr)
-        thr_cut = V3.where(e2, thr * b0m2, thr) if defer else thr
-        live = live & (thr_cut.max_component() >= 0.001)
+        live = live & (thr.max_component() >= 0.001)
         ndepth = depth + 1
         live = live & (ndepth < max_depth)
 
@@ -554,13 +482,7 @@ def _regen_chunk(
         thr = V3.where(regen, V3.full(1.0, m), thr)
         key = jnp.where(regen, key_new, key)
         depth = jnp.where(live, ndepth, jnp.int32(0))
-        if defer:
-            e2 = jnp.where(regen, False, e2)
-            b0m2 = V3.where(regen, V3.full(1.0, m), b0m2)
-            st2 = (o, d, thr, key, depth, s2, e2, b0m2)
-        else:
-            st2 = (o, d, thr, key, depth, s2)
-        return st2, cA, cB, idx0, defer_now, s, done
+        return (o, d, thr, key, depth, s2), cA, s, done
 
     lane = jnp.arange(N, dtype=jnp.int32)
     o0, d0, key0 = make_ray(lane, jnp.zeros((N,), jnp.int32))
@@ -568,226 +490,60 @@ def _regen_chunk(
         o0, d0, V3.full(1.0, (N,)), key0,
         jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32),
     )
-    if defer:
-        state0 = state0 + (jnp.zeros((N,), bool), V3.full(1.0, (N,)))
-    acc0 = tuple(jnp.zeros((NS, N), jnp.float32) for _ in range(6 if defer else 3))
-    if defer:
-        acc0 = acc0 + (jnp.zeros((NS, N), jnp.int32),)  # exact base₀ texel ids
-
-    def chans(cA, cB):
-        return (cA.x, cA.y, cA.z) + ((cB.x, cB.y, cB.z) if defer else ())
+    acc0 = tuple(jnp.zeros((NS, N), jnp.float32) for _ in range(3))
 
     # ---- phase 1: full width, slot-buffered accumulation into (NS, N) ------
     q = _TAIL_QUANT
     tail = min(-(-max(q, N // _TAIL_DIV) // q) * q, N)
     item_rows = jax.lax.broadcasted_iota(jnp.int32, (NS, N), 0)
 
-    if defer:
-        # deferred-texture mode (gated off by default) keeps the simple
-        # per-iteration one-hot fold: its extra idx0/cB bookkeeping is per-
-        # bounce, and the mode is a recorded negative, not a perf path
-        def cond1(carry):
-            st, _acc, it = carry
-            return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
+    # K-slot fold (module note at _FOLD_EVERY): the loop carries a per-
+    # lane running path sum; a finishing lane parks (item, sum) in slot
+    # row (k) and the (NS, N) accumulator is touched once per K bounces.
+    # Bit-identical to the per-iteration fold: every (item, lane) cell
+    # receives exactly one add, and the within-item chain is unchanged.
+    K = _FOLD_EVERY
+    zeroN = V3.full(0.0, (N,))
 
-        def body1(carry):
-            st, acc, it = carry
-            st, cA, cB, idx0, dmask, item, _done = bounce_step(lane, st)
-            hit_row = item_rows == item[None, :]
-            new = tuple(
-                a + jnp.where(hit_row, c[None, :], 0.0)
-                for a, c in zip(acc, chans(cA, cB))
+    def cond1(carry):
+        st, _acc, _psum, it = carry
+        return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
+
+    def body1(carry):
+        st, acc, psum, it = carry
+        slot_item0 = jnp.full((K, N), NS, jnp.int32)
+        slot_val0 = V3.full(0.0, (K, N))
+
+        def step(k, c):
+            st, psum, s_item, s_val, it = c
+            st, cA, item, done = bounce_step(lane, st)
+            psum = psum + cA
+            s_item = s_item.at[k].set(jnp.where(done, item, NS))
+            s_val = V3(
+                s_val.x.at[k].set(jnp.where(done, psum.x, 0.0)),
+                s_val.y.at[k].set(jnp.where(done, psum.y, 0.0)),
+                s_val.z.at[k].set(jnp.where(done, psum.z, 0.0)),
             )
-            new = new + (
-                acc[-1] + jnp.where(hit_row & dmask[None, :], idx0[None, :], 0),
-            )
-            return st, new, it + 1
+            psum = V3.where(done, zeroN, psum)
+            return st, psum, s_item, s_val, it + 1
 
-        st1, acc, _it = jax.lax.while_loop(
-            cond1, body1, (state0, acc0, jnp.int32(0))
+        st, psum, s_item, s_val, it = jax.lax.fori_loop(
+            0, K, step, (st, psum, slot_item0, slot_val0, it)
         )
-        psum1 = None
-    elif use_pipe:
-        # Fused in-kernel regeneration (_PIPE_REGEN): one Pallas launch per
-        # iteration runs glue(prev record) → regen → bounce(new rays)
-        # (ops/pallas/bounce_pallas._path_step_kernel).  The only XLA left per
-        # iteration is the atlas texel gather for the record's hit and the
-        # K-slot accumulator fold.  The kernel glue mirrors bounce_step term
-        # for term; equality is up to Mosaic-vs-XLA FMA contraction
-        # (tests/test_pipe_regen.py bounds it, exactly as test_regen does for
-        # the scheduler itself).
-        from ..ops.pallas.bounce_pallas import (
-            StepRec,
-            StepStatics,
-            pack_light_blob,
-            pack_mat_blob,
-            pack_tex_blob,
-            path_step_pallas,
-        )
-        from ..ops.pallas.intersect_pallas import blob_layout, pack_scene_blob
+        # distinct slots hold distinct items per lane, so the K one-hot
+        # rows never overlap; the accumulator is read+written once here
+        adds = [jnp.float32(0.0)] * 3
+        for k in range(K):
+            hit_row = item_rows == s_item[k][None, :]
+            for c, ch in enumerate((s_val.x, s_val.y, s_val.z)):
+                adds[c] = adds[c] + jnp.where(hit_row, ch[k][None, :], 0.0)
+        acc = tuple(a + add for a, add in zip(acc, adds))
+        return st, acc, psum, it
 
-        tex_on = not (
-            cs.any_textured is not None and cs.any_textured.shape[0] == 0
-        )
-        statics = StepStatics(
-            layout=blob_layout(cs),
-            n_mats=int(cs.materials.diffuse.shape[0]),
-            n_lights=cs.n_lights,
-            n_tex=int(cs.n_textures),
-            tex_on=tex_on,
-            t_min=_T_MIN,
-            t_max=_T_MAX,
-            shadow_light=(shadow_tmax == "light"),
-            jitter=jitter,
-            width=width,
-            height=height,
-            total=total,
-            stride=STRIDE,
-            n_pix=N,
-            ns=NS,
-            max_depth=max_depth,
-        )
-        blob = pack_scene_blob(cs)
-        mat_blob = pack_mat_blob(cs)
-        light_blob = pack_light_blob(cs)
-        tex_blob = pack_tex_blob(cs)
-        cam_smem = jnp.asarray(cam12, jnp.float32).reshape(1, 12)
-        scal = jnp.stack(
-            [
-                jnp.asarray(pix0, jnp.int32),
-                jax.lax.bitcast_convert_type(
-                    jnp.asarray(seed).astype(jnp.uint32), jnp.int32
-                ),
-                jnp.asarray(sample_base, jnp.int32),
-            ]
-        )[None, :]
-
-        zN = jnp.zeros((N,), jnp.float32)
-        oneN = jnp.ones((N,), jnp.float32)
-        # Priming record: glue(rec0) is an exact no-op that leaves every lane
-        # bouncing its initial camera ray at depth 0 — hit=1/kill=0 keep it
-        # live, wnee=0 contributes nothing, sthr=1/tthr=0 keep thr at 1, and
-        # depth −1 makes ndepth 0.
-        rec0 = StepRec(
-            idx=jnp.full((N,), -1, jnp.int32), hit=oneN, kill=zN, wnee=zN,
-            rrs=oneN, sthr=oneN, tthr=zN, no=o0, nd=d0, mc=V3(zN, zN, zN),
-        )
-        idx_g0 = pix0 + lane
-        ux0 = (idx_g0 % width).astype(jnp.int32)
-        uy0 = (idx_g0 // width).astype(jnp.int32)
-        K = _FOLD_EVERY
-        texel0 = jnp.zeros((N,), jnp.int32)
-
-        def gather_texel(idx):
-            # untextured scenes skip the gather entirely (the resolve gate:
-            # idx is −1 for every lane and the kernel falls back to mc)
-            if not tex_on:
-                return texel0
-            return cs.atlas[jnp.maximum(idx, 0)]
-
-        def cond1(carry):
-            return (jnp.sum(carry[7] < NS) > tail) & (carry[-1] < iter_cap)
-
-        def body1(carry):
-            rec, o, d, thr, psum, key, depth, s, ploc, ux, uy, acc, it = carry
-            s_item0 = jnp.full((K, N), NS, jnp.int32)
-            s_val0 = V3.full(0.0, (K, N))
-
-            def step(k, c):
-                (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
-                 si, sv, it) = c
-                texel = gather_texel(rec.idx)
-                (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
-                 item, park) = path_step_pallas(
-                    statics, blob, mat_blob, light_blob, tex_blob, cam_smem,
-                    scal, rec, texel, thr, psum, key, depth, s, ploc, ux, uy,
-                )
-                si = si.at[k].set(item)
-                sv = V3(
-                    sv.x.at[k].set(park.x),
-                    sv.y.at[k].set(park.y),
-                    sv.z.at[k].set(park.z),
-                )
-                return (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
-                        si, sv, it + 1)
-
-            (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy, s_item,
-             s_val, it) = jax.lax.fori_loop(
-                0, K, step,
-                (rec, o, d, thr, psum, key, depth, s, ploc, ux, uy,
-                 s_item0, s_val0, it),
-            )
-            # same non-overlapping K-slot one-hot fold as the XLA branch
-            adds = [jnp.float32(0.0)] * 3
-            for k in range(K):
-                hit_row = item_rows == s_item[k][None, :]
-                for c, ch in enumerate((s_val.x, s_val.y, s_val.z)):
-                    adds[c] = adds[c] + jnp.where(hit_row, ch[k][None, :], 0.0)
-            acc = tuple(a + add for a, add in zip(acc, adds))
-            return rec, o, d, thr, psum, key, depth, s, ploc, ux, uy, acc, it
-
-        carry0 = (
-            rec0, o0, d0, V3.full(1.0, (N,)), V3.full(0.0, (N,)), key0,
-            jnp.full((N,), -1, jnp.int32), jnp.zeros((N,), jnp.int32),
-            lane, ux0, uy0, acc0, jnp.int32(0),
-        )
-        (_rec, o, d, thr, psum1, key, depth, s, _pl, _ux, _uy, acc, _it
-         ) = jax.lax.while_loop(cond1, body1, carry0)
-        # The pending record (the last call's un-glued bounce) is DISCARDED:
-        # its lanes' s/psum are untouched, so phase 2 re-bounces exactly those
-        # (o, d, thr, key, depth) rays through the same megakernel physics —
-        # deterministic RNG makes the re-bounce identical.  The max() handles
-        # the zero-iteration case (chunk ≤ tail): the carried priming depth
-        # −1 must hand fresh camera rays to phase 2 at depth 0.
-        st1 = (o, d, thr, key, jnp.maximum(depth, 0), s)
-    else:
-        # K-slot fold (module note at _FOLD_EVERY): the loop carries a per-
-        # lane running path sum; a finishing lane parks (item, sum) in slot
-        # row (k) and the (NS, N) accumulator is touched once per K bounces.
-        # Bit-identical to the per-iteration fold: every (item, lane) cell
-        # receives exactly one add, and the within-item chain is unchanged.
-        K = _FOLD_EVERY
-        zeroN = V3.full(0.0, (N,))
-
-        def cond1(carry):
-            st, _acc, _psum, it = carry
-            return (jnp.sum(st[5] < NS) > tail) & (it < iter_cap)
-
-        def body1(carry):
-            st, acc, psum, it = carry
-            slot_item0 = jnp.full((K, N), NS, jnp.int32)
-            slot_val0 = V3.full(0.0, (K, N))
-
-            def step(k, c):
-                st, psum, s_item, s_val, it = c
-                st, cA, _cB, _i0, _dm, item, done = bounce_step(lane, st)
-                psum = psum + cA
-                s_item = s_item.at[k].set(jnp.where(done, item, NS))
-                s_val = V3(
-                    s_val.x.at[k].set(jnp.where(done, psum.x, 0.0)),
-                    s_val.y.at[k].set(jnp.where(done, psum.y, 0.0)),
-                    s_val.z.at[k].set(jnp.where(done, psum.z, 0.0)),
-                )
-                psum = V3.where(done, zeroN, psum)
-                return st, psum, s_item, s_val, it + 1
-
-            st, psum, s_item, s_val, it = jax.lax.fori_loop(
-                0, K, step, (st, psum, slot_item0, slot_val0, it)
-            )
-            # distinct slots hold distinct items per lane, so the K one-hot
-            # rows never overlap; the accumulator is read+written once here
-            adds = [jnp.float32(0.0)] * 3
-            for k in range(K):
-                hit_row = item_rows == s_item[k][None, :]
-                for c, ch in enumerate((s_val.x, s_val.y, s_val.z)):
-                    adds[c] = adds[c] + jnp.where(hit_row, ch[k][None, :], 0.0)
-            acc = tuple(a + add for a, add in zip(acc, adds))
-            return st, acc, psum, it
-
-        st1, acc, psum1, _it = jax.lax.while_loop(
-            cond1, body1, (state0, acc0, zeroN, jnp.int32(0))
-        )
-    o, d, thr, key, depth, s = st1[:6]
+    st1, acc, psum1, _it = jax.lax.while_loop(
+        cond1, body1, (state0, acc0, zeroN, jnp.int32(0))
+    )
+    o, d, thr, key, depth, s = st1
 
     # ---- phase 2: compact the ≤ tail stragglers, finish at low width --------
     unfinished = s < NS
@@ -801,17 +557,14 @@ def _regen_chunk(
         o.take(sel), d.take(sel), thr.take(sel), key[sel], depth[sel],
         jnp.where(valid, s[sel], NS),
     )
-    if defer:
-        st_t = st_t + (st1[6][sel], st1[7].take(sel))
-    else:
-        # flush the carried mid-item path sums into their cells; phase 2
-        # then keeps adding per-bounce — the per-cell chain stays sequential
-        psum_t = psum1.take(sel)
-        item_cur = st_t[5]
-        acc = tuple(
-            a.at[item_cur, sel].add(jnp.where(valid, c, 0.0), mode="drop")
-            for a, c in zip(acc, (psum_t.x, psum_t.y, psum_t.z))
-        )
+    # flush the carried mid-item path sums into their cells; phase 2
+    # then keeps adding per-bounce — the per-cell chain stays sequential
+    psum_t = psum1.take(sel)
+    item_cur = st_t[5]
+    acc = tuple(
+        a.at[item_cur, sel].add(jnp.where(valid, c, 0.0), mode="drop")
+        for a, c in zip(acc, (psum_t.x, psum_t.y, psum_t.z))
+    )
 
     def cond2(carry):
         st, _acc, it = carry
@@ -819,50 +572,29 @@ def _regen_chunk(
 
     def body2(carry):
         st, acc, it = carry
-        st, cA, cB, idx0, dmask, item, _done = bounce_step(sel, st)
+        st, cA, item, _done = bounce_step(sel, st)
         # contributions scatter straight into the phase-1 accumulator rows,
         # preserving per-item (sample, depth) addition order exactly
         item_safe = jnp.where(valid, item, NS)  # out of range → dropped
         new = tuple(
             a.at[item_safe, sel].add(jnp.where(valid, c, 0.0), mode="drop")
-            for a, c in zip(acc, chans(cA, cB))
+            for a, c in zip(acc, (cA.x, cA.y, cA.z))
         )
-        if defer:
-            new = new + (
-                acc[-1].at[item_safe, sel].add(
-                    jnp.where(valid & dmask, idx0, 0), mode="drop"
-                ),
-            )
         return st, new, it + 1
 
     _st, acc, _it2 = jax.lax.while_loop(cond2, body2, (st_t, acc, jnp.int32(0)))
-    probe = (_it, _it2) if _PROBE_ITERS else None
-
-    # ---- resolve deferred base₀ (ONE bulk gather per chunk) -----------------
-    if defer:
-        idxs = jnp.clip(acc[-1].reshape(-1), 0, int(cs.atlas.shape[0]) - 1)
-        texel = cs.atlas[idxs].reshape(NS, N)
-        inv255 = jnp.float32(1.0 / 255.0)
-        b0 = (
-            (texel & 0xFF).astype(jnp.float32) * inv255,
-            ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
-            ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
-        )
-        rows = tuple(acc[c] + b0[c] * acc[3 + c] for c in range(3))
-    else:
-        rows = acc[:3]
 
     # ---- re-bin items to pixels: inverse of the shift permutation ----------
-    out = V3(rows[0][0], rows[1][0], rows[2][0])
+    out = V3(acc[0][0], acc[1][0], acc[2][0])
     for si in range(1, NS):
         shift = (si * STRIDE) % N
         out = out + V3(
-            jnp.roll(rows[0][si], shift),
-            jnp.roll(rows[1][si], shift),
-            jnp.roll(rows[2][si], shift),
+            jnp.roll(acc[0][si], shift),
+            jnp.roll(acc[1][si], shift),
+            jnp.roll(acc[2][si], shift),
         )
-    if probe is not None:
-        return out, probe[0], probe[1]
+    if _PROBE_ITERS:
+        return out, _it, _it2
     return out
 
 

@@ -67,6 +67,16 @@ from .intersect_pallas import _sweep_prims, pack_ps_blob, ps_blob_layout
 
 # interpret-verified escape hatch, like PTRT_BVH_SCENE/PTRT_BVH_ATTRS
 BVH_BOUNCE = os.environ.get("PTRT_BVH_BOUNCE", "1") != "0"
+# Occlusion placement.  True (default): the bounce kernel fuses closest walk
+# + NEE prep + scatter and DEFERS the shadow query — emitted as a shadow-ray
+# record — to a separate ``bvh_scene_any_pallas`` launch with its OWN
+# shadow-ray coherence sort.  False: the occlusion walk runs inside the same
+# kernel under the primary sort — measured 18% SLOWER on the config-5 mesh
+# (59.4 vs 72.6 Mrays/s steady, A/B/A reproduced, round 4): shadow rays
+# sorted by (octant-toward-light, hit-point morton) walk far fewer nodes
+# than primary-ordered ones, and the saved launch/glue does not cover it.
+# Kept as the recorded negative; flip for re-measurement.
+BVH_BOUNCE_SPLIT_ANY = True
 # select-chain unroll bounds (per-bounce cost is linear in these)
 _UID_PS_LIMIT = 64  # ps-prim → uid chain entries (P + S + Q)
 _UMAT_LIMIT = 32  # unique-material rows (10 selects each)
@@ -109,19 +119,18 @@ def _uid_mat_select(umat_ref, n_umats: int, uid):
 
 def _path_bounce_bvh_kernel(
     m4, leaf_size, ps_layout, gid_offset: int, n_umats: int, n_lights: int,
-    t_min: float, t_max: float, shadow_light: bool,
+    t_min: float, t_max: float, shadow_light: bool, split_any: bool,
     # SMEM refs
     tree_ref, slot_ref, ps_ref, psuid_ref, umat_ref, light_ref,
     # VMEM in
     depth_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     thx_ref, thy_ref, thz_ref, key_ref,
-    # VMEM out (19, same record as _path_bounce_kernel)
-    hit_ref, kill_ref, wsky_ref, wnee_ref, rrs_ref, sthr_ref, tthr_ref,
-    nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
-    u_ref, v_ref, tex_ref, mr_ref, mg_ref, mb_ref,
-    # scratch
-    stack_ref,
+    # VMEM out: the 19-field _path_bounce_kernel record, plus (split_any)
+    # the 7-field deferred shadow query
+    *out_refs,
 ):
+    stack_ref = out_refs[-1]  # scratch rides after the outputs
+    out_refs = out_refs[:-1]
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     thx, thy, thz = thx_ref[:], thy_ref[:], thz_ref[:]
@@ -186,32 +195,21 @@ def _path_bounce_bvh_kernel(
         )
         return found > 0.5
 
-    (hit_o, killed, w_nee, rr_scale, s_thr, t_thr,
-     nox, noy, noz, ndx, ndy, ndz, uo, vo, tex, mr, mg, mb) = _shade_scatter(
-        n_lights, light_ref, t_min, t_max, shadow_light, occl_walk,
+    out = _shade_scatter(
+        n_lights, light_ref, t_min, t_max, shadow_light,
+        None if split_any else occl_walk,
         depth_u32, key, dx, dy, dz, thx, thy, thz,
         hit, bt, px, py, pz, nx, ny, nz, uu, vv, mats,
     )
-
-    hit_ref[:] = hit_o.astype(jnp.float32)
-    kill_ref[:] = killed.astype(jnp.float32)
-    wsky_ref[:] = jnp.where(hit_o, 0.0, _SKY)
-    wnee_ref[:] = w_nee
-    rrs_ref[:] = rr_scale
-    sthr_ref[:] = s_thr
-    tthr_ref[:] = t_thr
-    nox_ref[:] = nox
-    noy_ref[:] = noy
-    noz_ref[:] = noz
-    ndx_ref[:] = ndx
-    ndy_ref[:] = ndy
-    ndz_ref[:] = ndz
-    u_ref[:] = uo
-    v_ref[:] = vo
-    tex_ref[:] = tex
-    mr_ref[:] = mr
-    mg_ref[:] = mg
-    mb_ref[:] = mb
+    hit_o, killed, w_nee = out[0], out[1], out[2]
+    vals = (
+        (hit_o.astype(jnp.float32), killed.astype(jnp.float32),
+         jnp.where(hit_o, 0.0, _SKY), w_nee)
+        + tuple(out[3:])
+    )
+    assert len(vals) == len(out_refs), (len(vals), len(out_refs))
+    for ref, val in zip(out_refs, vals):
+        ref[:] = val
 
 
 def bounce_bvh_ok(cs: CompiledScene) -> bool:
@@ -245,6 +243,8 @@ def path_bounce_bvh_pallas(
     bvh = cs.bvh
     n = ro.x.shape[0]
     assert n % LANES == 0, n
+    split_any = BVH_BOUNCE_SPLIT_ANY
+    n_out = 26 if split_any else 19
     ps_layout = ps_blob_layout(cs)
     ps_blob = pack_ps_blob(cs)
     psuid_blob = pack_psuid_blob(cs)
@@ -270,12 +270,12 @@ def path_bounce_bvh_pallas(
             partial(
                 _path_bounce_bvh_kernel, m4, leaf_size, ps_layout,
                 gid_offset, n_umats, cs.n_lights, float(t_min),
-                float(t_max), bool(shadow_light),
+                float(t_max), bool(shadow_light), split_any,
             ),
             grid=(rows // block_rows,),
             in_specs=[smem] * 6 + [spec] * 11,
-            out_specs=[spec] * 19,
-            out_shape=[f32] * 19,
+            out_specs=[spec] * n_out,
+            out_shape=[f32] * n_out,
             scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
         )(
             bvh.quad_blob, bvh.slot_blob, ps_blob, psuid_blob, umat_blob,
@@ -295,9 +295,22 @@ def path_bounce_bvh_pallas(
         )
         outs = run(V3(sx, sy, sz), V3(sdx, sdy, sdz), V3(stx, sty, stz),
                    skey, sdep)
-        outs = jax.lax.sort([sidx] + outs, num_keys=1, is_stable=True)[1:]
+        outs = list(jax.lax.sort([sidx] + outs, num_keys=1, is_stable=True)[1:])
     else:
         outs = run(ro, rd, thr, key, depth_v)
+
+    if split_any:
+        # deferred shadow query: one whole-scene occlusion launch with its
+        # own shadow-ray coherence sort (don't-care lanes carry limit −1 and
+        # park; their w_nee is already zero)
+        from .bvh_pallas import bvh_scene_any_pallas
+
+        (sox, soy, soz, ldx, ldy, ldz, slim) = outs[19:]
+        occluded = bvh_scene_any_pallas(
+            cs, V3(sox, soy, soz), V3(ldx, ldy, ldz), t_min, slim
+        )
+        outs = outs[:19]
+        outs[3] = jnp.where(occluded, 0.0, outs[3])
 
     (hit, kill, wsky, wnee, rrs, sthr, tthr, nox, noy, noz, ndx, ndy, ndz,
      u, v, tex, mr, mg, mb) = outs

@@ -110,12 +110,21 @@ def _shade_scatter(
     regardless of occlusion — walk-based implementations park don't-care
     lanes (their reported occlusion is True, which is unused because
     ``w_nee`` is zero for them; same contract as models/path_tracer.py's
-    ``limit = -1`` lanes)."""
+    ``limit = -1`` lanes).
+
+    ``occl_fn=None`` defers the shadow query to the caller: ``w_nee`` is
+    returned UNoccluded and the record grows a trailing shadow-query tuple
+    ``(sox, soy, soz, ldx, ldy, ldz, limit)`` (limit −1 for don't-care
+    lanes); the caller masks ``w_nee`` with its own occlusion answer.  The
+    whole-bounce BVH driver uses this to keep the occlusion walk a separate
+    launch with its own shadow-ray coherence sort (the fully-fused variant
+    measured 18% slower — BENCHMARKS.md round 4)."""
     (mr, mg, mb, diffuse, _spec, reflective, refractive, ior, has_tex, tex_id
      ) = mats
 
     # ---- NEE: uniform light pick + shadow query (t_max quirk: 1e6) ----------
     w_nee = jnp.zeros_like(best_t)
+    shadow_q = None
     if n_lights > 0:
         r_light = _uniform(key, depth_u32, _U_LIGHT)
         li = jnp.minimum((r_light * n_lights).astype(jnp.int32), n_lights - 1)
@@ -141,7 +150,17 @@ def _shade_scatter(
         # beyond the light still shadow); shadow_light bounds the query at
         # the sampled light point (models/path_tracer.py shadow_tmax)
         shadow_bound = dist - 1e-3 if shadow_light else t_max
-        lit = ~occl_fn(sox, soy, soz, ldx, ldy, ldz, shadow_bound, care)
+        if occl_fn is None:
+            lit = jnp.bool_(True)
+            limit = jnp.where(
+                care,
+                jnp.broadcast_to(jnp.asarray(shadow_bound, jnp.float32),
+                                 care.shape),
+                jnp.float32(-1.0),
+            )
+            shadow_q = (sox, soy, soz, ldx, ldy, ldz, limit)
+        else:
+            lit = ~occl_fn(sox, soy, soz, ldx, ldy, ldz, shadow_bound, care)
 
         glass_cls = refractive > 0.5
         mirror_cls = reflective > 0.7
@@ -242,9 +261,15 @@ def _shade_scatter(
     )
     t_thr = jnp.where(ev_refr, 0.0, t_thr)
 
-    return (hit, killed, w_nee, rr_scale, s_thr, t_thr,
-            nox, noy, noz, ndx, ndy, ndz, uu, vv,
-            jnp.where(has_tex > 0.5, tex_id, -1.0), mr, mg, mb)
+    rec = (hit, killed, w_nee, rr_scale, s_thr, t_thr,
+           nox, noy, noz, ndx, ndy, ndz, uu, vv,
+           jnp.where(has_tex > 0.5, tex_id, -1.0), mr, mg, mb)
+    if occl_fn is None:
+        if shadow_q is None:  # no lights: nothing to occlude
+            zero = jnp.zeros_like(best_t)
+            shadow_q = (zero, zero, zero, zero, zero, zero, zero - 1.0)
+        return rec + shadow_q
+    return rec
 
 
 def _bounce_core(

@@ -119,6 +119,30 @@ def test_bounce_bvh_megakernel_matches_xla(interpreted_pallas):
     )
 
 
+def test_bounce_bvh_fused_any_variant_matches(interpreted_pallas, monkeypatch):
+    """The fully-fused occlusion variant (BVH_BOUNCE_SPLIT_ANY=False — the
+    recorded 18%-slower negative) stays equivalence-covered."""
+    import jax.numpy as jnp
+
+    from path_tracing__ray_tracer_tpu.models.path_tracer import path_radiance
+    from path_tracing__ray_tracer_tpu.ops import rng as prng
+    from path_tracing__ray_tracer_tpu.ops.pallas import bounce_bvh_pallas
+
+    monkeypatch.setattr(bounce_bvh_pallas, "BVH_BOUNCE_SPLIT_ANY", False)
+    scene = _mixed_scene(n_tris=24, seed=4)
+    cs = compile_scene(scene, use_bvh=True)
+    n = 256
+    ro, rd = _rays(n, 17)
+    key = prng.ray_key(jnp.uint32(0), jnp.arange(n), 0)
+    rad_k = path_radiance(cs, ro, rd, key, max_depth=2)
+    intersect.USE_PALLAS = False
+    rad_x = path_radiance(cs, ro, rd, key, max_depth=2)
+    np.testing.assert_allclose(
+        np.asarray(rad_k.to_array()), np.asarray(rad_x.to_array()),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_bounce_bvh_full_render_matches(interpreted_pallas, monkeypatch):
     """End-to-end: the regeneration-scheduler render through the fused
     bounce equals the XLA-bounce render (FMA-level)."""
