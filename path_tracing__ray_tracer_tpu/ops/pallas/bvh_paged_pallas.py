@@ -67,11 +67,15 @@ from .bvh_pallas import (
 # page children are encoded as inner metas with ids >= this base — far above
 # any real BVH4 node count the SMEM top tree could hold
 PAGE_META_BASE = 1 << 20
-# per-page blob budget (BVH4 records + slot records, floats).  ~0.4 MB: big
-# enough that a coherent block rarely needs more than a couple of pages,
-# small enough that top + ps + one page of scratch stay well inside the
-# ~1 MB SMEM operand budget (bvh_pallas.SMEM_BLOB_LIMIT measurements).
-PAGE_BUDGET_FLOATS = 100_000
+# per-page blob budget (BVH4 records + slot records, floats).  Bigger pages
+# mean fewer per-iteration page launches and less root-re-entry redundancy;
+# the ceiling is one page + top + ps blob ≤ bvh_pallas.SMEM_BLOB_LIMIT per
+# launch.  Measured on the 128K-tri mesh_big scene (round 4,
+# experiments/measure_page_budget.py, 16 spp steady): budget 200K → 14
+# pages, 26.8 s (14.8 Mrays/s) vs budget 100K → 50 pages, 30.6 s (13.0) —
+# +14% for the bigger pages; 60K produces the same cut as 100K (the cut
+# fragments to ~half the parent size below the threshold).
+PAGE_BUDGET_FLOATS = 200_000
 # pending-mask capacity: two int32 words
 PAGES_MAX = 64
 
