@@ -80,6 +80,15 @@ BVH_BOUNCE_SPLIT_ANY = True
 # select-chain unroll bounds (per-bounce cost is linear in these)
 _UID_PS_LIMIT = 64  # ps-prim → uid chain entries (P + S + Q)
 _UMAT_LIMIT = 32  # unique-material rows (10 selects each)
+# group shadow rays by their sampled light index before the occlusion walk
+# (major sort key).  MEASURED LOSS on the config-5 mesh (round 4): 31.0 s
+# steady vs 20.5 s baseline (51.4 vs 77.7 Mrays/s) — the light points span
+# a few centimetres so direction coherence was never the problem, and
+# light-major grouping scatters shadow-ray ORIGINS (hit points) across the
+# frame, destroying the origin-morton locality the walk actually relies
+# on.  Kept gated off as the recorded negative.
+BVH_SHADOW_LIGHT_KEY = False
+_U_LIGHT_K = 0  # rng use slot, must match bounce_pallas._U_LIGHT
 _UID_SHIFT_BITS = GID_UID_SHIFT.bit_length() - 1
 
 
@@ -302,12 +311,23 @@ def path_bounce_bvh_pallas(
     if split_any:
         # deferred shadow query: one whole-scene occlusion launch with its
         # own shadow-ray coherence sort (don't-care lanes carry limit −1 and
-        # park; their w_nee is already zero)
+        # park; their w_nee is already zero).  The sampled light index rides
+        # as the MAJOR sort key (BVH_SHADOW_LIGHT_KEY): same-light shadow
+        # rays are maximally direction-coherent.
+        from .. import rng
         from .bvh_pallas import bvh_scene_any_pallas
 
+        extra = None
+        # ≤ 512 lights keeps the composite sort key inside int32
+        if BVH_SHADOW_LIGHT_KEY and 1 < cs.n_lights <= 512:
+            r_light = rng.uniform(key, depth_v, _U_LIGHT_K)
+            extra = jnp.minimum(
+                (r_light * cs.n_lights).astype(jnp.int32), cs.n_lights - 1
+            )
         (sox, soy, soz, ldx, ldy, ldz, slim) = outs[19:]
         occluded = bvh_scene_any_pallas(
-            cs, V3(sox, soy, soz), V3(ldx, ldy, ldz), t_min, slim
+            cs, V3(sox, soy, soz), V3(ldx, ldy, ldz), t_min, slim,
+            extra_key=extra,
         )
         outs = outs[:19]
         outs[3] = jnp.where(occluded, 0.0, outs[3])

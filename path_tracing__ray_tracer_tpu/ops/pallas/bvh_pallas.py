@@ -1956,10 +1956,18 @@ def bvh_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float, t_max: float):
             V3(nx, ny, nz))
 
 
-def bvh_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
+def bvh_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit,
+                         extra_key=None):
     """Whole-scene occlusion mask with per-lane ``limit`` in one kernel (see
     ``_bvh4_scene_any_kernel``); ``None`` when the fused path is
-    unavailable."""
+    unavailable.
+
+    ``extra_key`` (optional per-lane int32, small values) rides ABOVE the
+    coherence key as the major sort criterion.  The whole-bounce driver
+    passes the NEE light index: shadow rays aiming at the SAME light point
+    are maximally direction-coherent, while the octant bits alone split
+    them (the 16 light points span a few centimetres, so per-light
+    direction spreads are tiny compared to the pick-to-pick spread)."""
     if not _scene_fused_ok(cs):
         return None
     from .intersect_pallas import pack_ps_blob, ps_blob_layout
@@ -2020,9 +2028,13 @@ def bvh_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
 
     limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
     if _sort_enabled(n):
+        key = _sort_key(bvh, ro, rd)
+        if extra_key is not None:
+            # above the subtree bits (subtree ids 0..16 need 5 bits)
+            key = key | (extra_key << (8 + 3 * _MORTON_BITS))
         iota = jnp.arange(n, dtype=jnp.int32)
         _k, sx, sy, sz, sdx, sdy, sdz, slim, sidx = jax.lax.sort(
-            [_sort_key(bvh, ro, rd), ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
+            [key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
              limit_v, iota],
             num_keys=1, is_stable=True,
         )
