@@ -236,6 +236,7 @@ def _bvh_pallas_enabled(cs, n: int) -> bool:
             path="bvh_pallas",
             reason=("blob_budget" if not fits_smem_bvh(cs.bvh)
                     else "batch_alignment" if n % 128 != 0 else "backend"),
+            paged_available=getattr(cs.bvh, "paged", None) is not None,
             n_rays=n,
         )
     return enabled
