@@ -60,23 +60,24 @@ def run_config(idx: int, scale: float) -> dict:
         # shadow_tmax="light" bounds NEE occlusion at the light (this scene
         # is not a reference-parity target; the 1e6 quirk would force the
         # any-walk to scan the whole unbounded shadow ray).
-        # sample_group 64 / chunk 1<<23 (same 131072-lane width; group sweep
-        # measured steady 54.8/49.6/39.3/37.8 s at groups 8/16/32/64 — the
-        # bigger groups amortize dispatches and phase-2 tail overhangs;
-        # ~2.4 s per dispatch stays well under the worker watchdog).
-        # Round 3: experiments/measure_cfg5_fix.py, measure_r3_batch.py.
+        # sample_group 128 / chunk 1<<24: at full spec (512 spp) group 128
+        # measured 152.2 s vs group 64's 161.9 s (+6.4%, round 4); at
+        # scaled-down spp the group clamps and the lane-width cap
+        # (wavefront._MAX_CHUNK_LANES) keeps the identical 131072-lane
+        # kernel, so this is safe at every --scale.  Earlier group sweep
+        # (round 3): steady 54.8/49.6/39.3/37.8 s at groups 8/16/32/64.
         5: ("tpu_path_raytracer", MeshSceneBuilder(grid=3, subdivisions=3),
             dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
-            dict(sample_group=64, chunk_rays=1 << 23, shadow_tmax="light",
+            dict(sample_group=128, chunk_rays=1 << 24, shadow_tmax="light",
                  compile_overrides={"use_bvh": True})),
         # 5b (round 4): 128,000-triangle stress — 25 icospheres at 4
         # subdivisions.  Exercises the two-level PAGED traversal
         # (ops/pallas/bvh_paged_pallas.py): the tree no longer fits SMEM, so
-        # subtree pages stream from HBM per block.  Run explicitly with
+        # subtree pages stream per-launch from HBM.  Run explicitly with
         # --configs 6; not part of the BASELINE.json five.
         6: ("tpu_path_raytracer", MeshSceneBuilder(grid=5, subdivisions=4),
             dict(width=1920, height=1080, samples_per_pixel=spp(512), max_depth=12),
-            dict(sample_group=64, chunk_rays=1 << 23, shadow_tmax="light",
+            dict(sample_group=128, chunk_rays=1 << 24, shadow_tmax="light",
                  compile_overrides={"use_bvh": True})),
     }
     renderer_name, builder, cfg, kwargs = configs[idx]

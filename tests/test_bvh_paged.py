@@ -95,6 +95,28 @@ def test_paged_closest_matches_xla(paged_small):
     np.testing.assert_allclose(nk[~diff], nx[~diff], rtol=1e-5, atol=1e-5)
 
 
+def test_whitted_render_through_paged_matches(paged_small):
+    """The Whitted texture renderer composes with the paged kernels
+    (scene_hit + scene_hit_any) — render equality vs the XLA walk.
+    (On hardware the same composition measured 40.1 s for 1920×1080×25 spp
+    on the 128K-triangle scene, BENCHMARKS.md round 4.)"""
+    scene = _soup_scene(160, seed=21)
+    cam = ptrt.Camera(ptrt.Vec3(0, 2, 30), ptrt.Vec3(0, 0, 0),
+                      ptrt.Vec3(0, 1, 0), 45.0, 4.0 / 3.0)
+    s = ptrt.RenderSettings(width=32, height=24, samples_per_pixel=4,
+                            max_depth=2)
+
+    def render():
+        r = ptrt.RendererFactory.create(
+            "tpu_texture_raytracer", compile_overrides={"use_bvh": True})
+        return np.asarray(r.render(scene, cam, s))
+
+    a = render()
+    intersect.USE_PALLAS = False
+    b = render()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_paged_any_matches_xla(paged_small):
     scene = _soup_scene(160, seed=9)
     cs = compile_scene(scene, use_bvh=True)
