@@ -52,7 +52,6 @@ from .bounce_pallas import _MAT_FIELDS, _SKY, BounceOut, _shade_scatter, pack_li
 from .bvh_pallas import (
     _NODE4_F,
     _STACK_CAP,
-    GID_TRI_MASK,
     GID_UID_SHIFT,
     LANES,
     _blocks,
