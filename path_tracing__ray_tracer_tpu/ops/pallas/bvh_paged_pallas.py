@@ -16,11 +16,17 @@ module removes the cliff:
   a page child is never pushed — its hit sets a bit in a per-block pending
   mask (two int32 words).  Page-root boxes are tested against the running
   ``best_t``, so the mask is a superset of the pages the block needs.
-* **Phase 2**: while bits remain, the lowest pending page is DMA'd from HBM
-  into SMEM scratch (~0.4 MB ≈ microseconds, amortized over the whole
-  block's rays) and its subtree is walked with the carried best state by the
-  SAME ``_bvh4_walk`` body.  Occlusion walks early-exit the page loop once
-  every lane is occluded.
+* **Phase 2**: one rooted-walk launch per page, the page's blobs bound as
+  ordinary launch-level **SMEM operands** (XLA slices the ``(n_pages, ·)``
+  HBM arrays; all launches live in one jit and run back-to-back).  Each
+  page's subtree is walked with the carried best state by the SAME
+  ``_bvh4_walk`` body; a page no lane of a block pends costs that block one
+  root pop.  In-kernel page *streaming* is not the mechanism because this
+  Mosaic toolchain rejects every DMA whose destination is SMEM (probed on
+  hardware, round 4 — HBM→VMEM dynamic-row copies work, HBM→SMEM and
+  VMEM→SMEM fail remote compilation even with static indices), and the
+  scalar-core walk can only read SMEM.  Occlusion walks early-exit the page
+  loop once every lane is occluded.
 
 Correctness is per-lane exact, as in the one-level walk: a page skipped by
 the block is a page no lane's own slab test entered; carried best state

@@ -2,9 +2,9 @@
 
 Interpret mode on CPU with shrunken SMEM/page budgets, so a small triangle
 soup exercises the real paged machinery: top-tree walk with pending-page
-bitmask, per-page DMA into SMEM scratch, carried best state across pages.
-On TPU the same path is exercised by the 100K-triangle mesh benchmark
-(config 5b).
+bitmask, one rooted-walk launch per page with the page blobs bound as
+launch-level SMEM operands, carried best state across pages.  On TPU the
+same path is exercised by the 128K-triangle mesh benchmark (config 6).
 """
 import numpy as np
 import pytest

@@ -105,3 +105,39 @@ def test_regen_deterministic(cornell):
     b = _path_chunk(*args, **kw)
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
     np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+
+
+def test_experimental_standard_mode_matches_production(cornell):
+    """Drift guard for the quarantined scheduler fork (VERDICT round-4 weak
+    #6): ``models/experimental.regen_chunk_modes`` is a frozen copy of the
+    multi-mode round-3 scheduler, and production ``_regen_chunk`` delegates
+    to it only when a negative mode is requested — so nothing else would
+    catch the forks drifting apart.  In standard mode (``pipe=False``,
+    ``lod_depth=0``, no mip atlas) the two must run the *same* computation:
+    exact equality, not the flip tolerance."""
+    import jax
+
+    from path_tracing__ray_tracer_tpu.models.experimental import (
+        regen_chunk_modes,
+    )
+    from path_tracing__ray_tracer_tpu.models.path_tracer import _regen_chunk
+
+    scene, cam = cornell
+    cs = ptrt.compile_scene(scene)
+    assert cs.mip_atlas is None  # else production would delegate
+    cam12 = ptrt.pack_camera(cam)
+    kw = dict(n_pix=1024, width=40, height=30, n_samples=4, max_depth=5,
+              jitter="independent")
+    static = tuple(kw.keys()) + ("lod_depth", "pipe")
+    args = (cs, cam12, jnp.int32(64), jnp.uint32(7), jnp.int32(2))
+
+    prod = jax.jit(_regen_chunk, static_argnames=static)(
+        *args, **kw, pipe=False)
+    exp = jax.jit(regen_chunk_modes, static_argnames=static)(
+        *args, **kw, lod_depth=0, pipe=False)
+    for a, b, ch in zip((prod.x, prod.y, prod.z), (exp.x, exp.y, exp.z),
+                        "xyz"):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"experimental standard mode drifted from production "
+                    f"scheduler (channel {ch})")
