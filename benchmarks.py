@@ -11,6 +11,14 @@ full matrix and prints one JSON line per config:
 
 Usage:  python benchmarks.py [--configs 1,2,3] [--scale 0.25]
 ``--scale`` shrinks spp (not resolution) for quick runs.
+
+Noise-floor handling (VERDICT round-4 #3): the tunnel imposes a ~30 ms
+host-sync floor and ±2× noise on sub-second executions, so (a) each config
+has a per-config ``scale floor`` that keeps its spp high enough to measure
+(the global ``--scale`` never drives a row below it; the row's effective
+``spp_scale`` is recorded), and (b) the steady phase repeats varied-seed
+renders until ≥2.5 s of measured work accumulates (≤5 reps), reporting the
+mean and the per-rep times.
 """
 from __future__ import annotations
 
@@ -33,6 +41,14 @@ def run_config(idx: int, scale: float) -> dict:
     )
 
     cornell = ptrt.CustomSceneBuilder()
+
+    # per-config scale floors: the minimum spp fraction at which the steady
+    # phase stays comfortably above the tunnel noise floor (measured round
+    # 4: config 2 is ~1.2 s even at FULL spec, config 3 needs spp ≥ 128 —
+    # its scale-0.5 run measured 1.83 s / 146.7 Mrays/s).  Sub-floor global
+    # scales are clamped up and the effective scale is recorded per row.
+    SCALE_FLOOR = {2: 1.0, 3: 0.5}
+    scale = max(scale, SCALE_FLOOR.get(idx, 0.0))
 
     def spp(n):
         return max(1, int(n * scale))
@@ -94,11 +110,18 @@ def run_config(idx: int, scale: float) -> dict:
     renderer.render(scene, camera, settings)
     warmup = time.time() - t0
 
-    renderer.seed = 0
-    t0 = time.time()
-    image = renderer.render(scene, camera, settings)
-    elapsed = time.time() - t0
-    del image
+    # steady phase: varied-seed reps until >=2.5 s of measured work (<=5),
+    # so sub-second configs are averaged out of the tunnel noise floor
+    rep_seconds = []
+    for rep in range(5):
+        renderer.seed = rep * 7 + 2
+        t0 = time.time()
+        image = renderer.render(scene, camera, settings)
+        rep_seconds.append(time.time() - t0)
+        del image
+        if sum(rep_seconds) >= 2.5:
+            break
+    elapsed = sum(rep_seconds) / len(rep_seconds)
 
     total_rays = cfg["width"] * cfg["height"] * cfg["samples_per_pixel"] * cfg["max_depth"]
     return {
@@ -109,6 +132,7 @@ def run_config(idx: int, scale: float) -> dict:
         "spp_scale": scale,  # explicit: spp above is already scaled by this
         "max_depth": cfg["max_depth"],
         "seconds": round(elapsed, 2),
+        "rep_seconds": [round(t, 2) for t in rep_seconds],
         "warmup_seconds": round(warmup, 2),
         "mrays_per_sec": round(total_rays / elapsed / 1e6, 2),
     }

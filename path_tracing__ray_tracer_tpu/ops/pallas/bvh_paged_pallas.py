@@ -85,6 +85,27 @@ PAGE_BUDGET_FLOATS = 200_000
 # pending-mask capacity: two int32 words
 PAGES_MAX = 64
 
+# ---- round-5 phase-2 levers (A/B flags; see BENCHMARKS.md round 5) ----------
+# Stable re-sort of the lanes between phase 1 and phase 2 by their first
+# LIVE pending page (spatial order preserved within a page group): the
+# block-synchronous page walk pays a full block walk whenever ANY lane of a
+# block pends the page, so concentrating same-page lanes into contiguous
+# blocks turns "most blocks walk most pages" into "each page walks ~its own
+# blocks, every other block exits on the root pop".
+PAGE_SORT = True
+# Re-test each pended page's root box in XLA against the CARRIED best_t
+# right before its launch (closest walk only — the any-walk limit is fixed
+# so its pend bits are already final).  The pend bit was a superset taken
+# against the *running* best at top-walk time; earlier pages shrink best_t,
+# and the recheck uses the identical `_slab` formula on the identical box
+# floats, so a cleared lane is exactly a lane whose page-root pop would have
+# failed anyway (slab min/max are monotone in float, and the page's own
+# child boxes are contained in the root box).
+PAGE_CULL = True
+# Skip a page launch entirely (lax.cond) when no lane in the chunk still
+# needs it — deep-bounce and shadow batches often drop whole pages.
+PAGE_COND_SKIP = True
+
 
 class PagedBlobs(NamedTuple):
     """Device arrays of the two-level layout (pytree; static shapes carry
@@ -96,6 +117,8 @@ class PagedBlobs(NamedTuple):
     page_slot: jnp.ndarray  # (n_pages, SC) f32 — HBM
     top_depth_token: jnp.ndarray  # (depth4_top,) int8 — stack bound
     page_depth_token: jnp.ndarray  # (max depth4_page,) int8
+    page_lo: jnp.ndarray  # (n_pages, 3) f32 — page root boxes (XLA culling)
+    page_hi: jnp.ndarray  # (n_pages, 3) f32
 
     @property
     def n_pages(self) -> int:
@@ -289,6 +312,8 @@ def pack_paged(arrs: dict, v0, v1, v2, nrm=None, uid=None,
         page_slot=jnp.asarray(page_slot),
         top_depth_token=jnp.zeros((max_depth[0],), jnp.int8),
         page_depth_token=jnp.zeros((pdepth,), jnp.int8),
+        page_lo=jnp.asarray(lo[pages], jnp.float32),
+        page_hi=jnp.asarray(hi[pages], jnp.float32),
     )
 
 
@@ -603,6 +628,42 @@ def _page_bit(plo, phi, p: int):
     return ((word >> (p % 32)) & 1).astype(jnp.float32)
 
 
+def _page_root_slab(pg, p: int, o: V3, d: V3, t_min: float, far):
+    """Kernel-identical slab test of page ``p``'s root box against all lanes
+    (XLA side) — the same formula, association order and 1e-12 inverse-
+    direction epsilon as ``bvh_pallas._slab``, on the same box floats the
+    top tree stores, so the decision bit-matches the page walk's own root
+    pop at the same ``far``."""
+    lo = pg.page_lo[p]
+    hi = pg.page_hi[p]
+    ivx = 1.0 / jnp.where(jnp.abs(d.x) > 1e-12, d.x, 1e-12)
+    ivy = 1.0 / jnp.where(jnp.abs(d.y) > 1e-12, d.y, 1e-12)
+    ivz = 1.0 / jnp.where(jnp.abs(d.z) > 1e-12, d.z, 1e-12)
+    a = (lo[0] - o.x) * ivx
+    b = (hi[0] - o.x) * ivx
+    tx0, tx1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    a = (lo[1] - o.y) * ivy
+    b = (hi[1] - o.y) * ivy
+    ty0, ty1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    a = (lo[2] - o.z) * ivz
+    b = (hi[2] - o.z) * ivz
+    tz0, tz1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    enter = jnp.maximum(jnp.maximum(tx0, ty0), jnp.maximum(tz0, t_min))
+    exit_ = jnp.minimum(jnp.minimum(tx1, ty1), jnp.minimum(tz1, far))
+    return enter <= exit_
+
+
+def _first_page_key(pg, plo, phi, live_of) -> jnp.ndarray:
+    """Per-lane index of the first (lowest-index) pending page that is
+    still live under ``live_of(p)``; lanes with none key to ``n_pages``
+    (sorted last).  The phase-2 sort key."""
+    key = jnp.full(plo.shape, pg.n_pages, jnp.int32)
+    for p in range(pg.n_pages - 1, -1, -1):
+        live = (_page_bit(plo, phi, p) > 0.5) & live_of(p)
+        key = jnp.where(live, jnp.int32(p), key)
+    return key
+
+
 def bvh_paged_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float,
                                    t_max: float):
     """``(best_t, global_prim_idx, u, v, normal V3)`` for the whole scene
@@ -635,11 +696,35 @@ def bvh_paged_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float,
             scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
         )(pg.top_tree, pg.top_slot, ps_blob, *ray_args)
 
+        # ---- phase-2 lane schedule (flat (n,) views) --------------------
+        ox, oy, oz = o.x, o.y, o.z
+        dx, dy, dz = d.x, d.y, d.z
+        bt, bi, bu, bv, nx, ny, nz, plo, phi = (
+            a.reshape(n) for a in (bt, bi, bu, bv, nx, ny, nz, plo, phi)
+        )
+        page_sorted = PAGE_SORT and _sort_enabled(n)
+        if page_sorted:
+            ov, dv = V3(ox, oy, oz), V3(dx, dy, dz)
+            key2 = _first_page_key(
+                pg, plo, phi,
+                (lambda p: _page_root_slab(pg, p, ov, dv, t_min, bt))
+                if PAGE_CULL else (lambda p: jnp.bool_(True)),
+            )
+            iota2 = jnp.arange(n, dtype=jnp.int32)
+            (_k, iota2, ox, oy, oz, dx, dy, dz, bt, bi, bu, bv, nx, ny, nz,
+             plo, phi) = jax.lax.sort(
+                [key2, iota2, ox, oy, oz, dx, dy, dz, bt, bi, bu, bv, nx,
+                 ny, nz, plo, phi],
+                num_keys=1, is_stable=True,
+            )
+        ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz))
+        ov, dv = V3(ox, oy, oz), V3(dx, dy, dz)
+
         page_fn = partial(_page_closest_kernel, m4p, leaf_size, gid_offset,
                           float(t_min))
-        for p in range(pg.n_pages):
-            en = _page_bit(plo, phi, p)
-            bt, bi, bu, bv, nx, ny, nz = pl.pallas_call(
+
+        def page_step(p, en, bt, bi, bu, bv, nx, ny, nz):
+            out = pl.pallas_call(
                 page_fn,
                 grid=(rows // block_rows,),
                 in_specs=[smem, smem] + [spec] * 14,
@@ -648,9 +733,37 @@ def bvh_paged_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float,
                 scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
             )(
                 pg.page_tree[p][None, :], pg.page_slot[p][None, :],
-                *ray_args, en, bt, bi, bu, bv, nx, ny, nz,
+                *ray_args, r2(en),
+                r2(bt), r2(bi), r2(bu), r2(bv), r2(nx), r2(ny), r2(nz),
             )
-        return tuple(a.reshape(n) for a in (bt, bi, bu, bv, nx, ny, nz))
+            return tuple(a.reshape(n) for a in out)
+
+        for p in range(pg.n_pages):
+            # re-test the pend superset against the CARRIED best_t (shrunk
+            # by earlier pages); identical math to the page walk's own root
+            # pop, so this only removes walks that would fail it
+            en = _page_bit(plo, phi, p)
+            if PAGE_CULL:
+                en = en * _page_root_slab(pg, p, ov, dv, t_min, bt).astype(
+                    jnp.float32
+                )
+            state = (bt, bi, bu, bv, nx, ny, nz)
+            if PAGE_COND_SKIP:
+                state = jax.lax.cond(
+                    jnp.any(en > 0.5),
+                    lambda en, *s, p=p: page_step(p, en, *s),
+                    lambda _en, *s: s,
+                    en, *state,
+                )
+            else:
+                state = page_step(p, en, *state)
+            bt, bi, bu, bv, nx, ny, nz = state
+        if page_sorted:
+            _i, bt, bi, bu, bv, nx, ny, nz = jax.lax.sort(
+                [iota2, bt, bi, bu, bv, nx, ny, nz], num_keys=1,
+                is_stable=True,
+            )
+        return bt, bi, bu, bv, nx, ny, nz
 
     if _sort_enabled(n):
         iota = jnp.arange(n, dtype=jnp.int32)
@@ -701,13 +814,29 @@ def bvh_paged_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
             scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
         )(pg.top_tree, pg.top_slot, ps_blob, *ray_args, r2(lim))
 
+        # ---- phase-2 lane schedule (flat (n,) views) --------------------
+        ox, oy, oz = o.x, o.y, o.z
+        dx, dy, dz = d.x, d.y, d.z
+        found, plo, phi = (a.reshape(n) for a in (found, plo, phi))
+        page_sorted = PAGE_SORT and _sort_enabled(n)
+        if page_sorted:
+            # already-occluded lanes key past the last page; the any-walk
+            # limit is fixed so the pend bits are final (no slab recull)
+            key2 = _first_page_key(pg, plo, phi, lambda p: found < 0.5)
+            iota2 = jnp.arange(n, dtype=jnp.int32)
+            (_k, iota2, ox, oy, oz, dx, dy, dz, lim, found, plo,
+             phi) = jax.lax.sort(
+                [key2, iota2, ox, oy, oz, dx, dy, dz, lim, found,
+                 plo, phi],
+                num_keys=1, is_stable=True,
+            )
+        lim = r2(lim)
+        ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz))
+
         page_fn = partial(_page_any_kernel, m4p, leaf_size, float(t_min))
-        for p in range(pg.n_pages):
-            # a found lane never re-walks; unfound lanes that don't need
-            # this page are parked by seeding found=1, then unmasked after
-            en = _page_bit(plo, phi, p)
-            found_in = jnp.maximum(found, 1.0 - en)
-            walked = pl.pallas_call(
+
+        def page_step(p, found_in):
+            out = pl.pallas_call(
                 page_fn,
                 grid=(rows // block_rows,),
                 in_specs=[smem, smem] + [spec] * 8,
@@ -716,10 +845,29 @@ def bvh_paged_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
                 scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
             )(
                 pg.page_tree[p][None, :], pg.page_slot[p][None, :],
-                *ray_args, r2(lim), found_in,
+                *ray_args, lim, r2(found_in),
             )
+            return out.reshape(n)
+
+        for p in range(pg.n_pages):
+            # a found lane never re-walks; unfound lanes that don't need
+            # this page are parked by seeding found=1, then unmasked after
+            en = _page_bit(plo, phi, p)
+            found_in = jnp.maximum(found, 1.0 - en)
+            if PAGE_COND_SKIP:
+                walked = jax.lax.cond(
+                    jnp.any(found_in < 0.5),
+                    lambda fi, p=p: page_step(p, fi),
+                    lambda fi: fi,
+                    found_in,
+                )
+            else:
+                walked = page_step(p, found_in)
             found = jnp.maximum(found, walked * en)
-        return found.reshape(n)
+        if page_sorted:
+            _i, found = jax.lax.sort([iota2, found], num_keys=1,
+                                     is_stable=True)
+        return found
 
     limit_v = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
     if _sort_enabled(n):

@@ -135,3 +135,40 @@ def test_paged_any_matches_xla(paged_small):
     np.testing.assert_array_equal(
         np.asarray(occ_k)[care], np.asarray(occ_x)[care]
     )
+
+
+@pytest.mark.parametrize("cull", [True, False])
+def test_paged_page_sort_path_matches_xla(paged_small, monkeypatch, cull):
+    """Round-5 phase-2 lane schedule (PAGE_SORT: first-live-page-major
+    re-sort between the top walk and the page launches, XLA page-root
+    culling, lax.cond launch skip) must not change any lane's result.
+    ``_SORT_MIN_ROWS`` is shrunk so 256 rays take the sorted path."""
+    monkeypatch.setattr(bvh_pallas, "_SORT_MIN_ROWS", 1)
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_CULL", cull)
+    assert bvh_paged_pallas.PAGE_SORT  # default on; this test covers it
+    scene = _soup_scene(160, seed=7)
+    cs = compile_scene(scene, use_bvh=True)
+    assert cs.bvh.paged is not None
+    ro, rd = _rays(256, 11)
+
+    hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = False
+    hit_x = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+
+    np.testing.assert_array_equal(np.asarray(hit_k.hit), np.asarray(hit_x.hit))
+    np.testing.assert_allclose(np.asarray(hit_k.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
+
+    import jax.numpy as jnp
+
+    intersect.USE_PALLAS = True
+    rng = np.random.default_rng(5)
+    limit = rng.uniform(0.5, 30.0, 256).astype(np.float32)
+    limit[::7] = -1.0
+    occ_k = intersect.scene_hit_any(cs, ro, rd, 1e-3, jnp.asarray(limit))
+    intersect.USE_PALLAS = False
+    occ_x = intersect.scene_hit_any(cs, ro, rd, 1e-3, jnp.asarray(limit))
+    care = limit > 0.0
+    np.testing.assert_array_equal(
+        np.asarray(occ_k)[care], np.asarray(occ_x)[care]
+    )
