@@ -33,12 +33,13 @@ parser.add_argument("--variants", default="base,skip,full")
 args = parser.parse_args()
 
 VARIANTS = {
-    # (PAGE_SORT, PAGE_CULL, PAGE_COND_SKIP)
-    "base": (False, False, False),
-    "skip": (False, False, True),
-    "cull": (False, True, True),
-    "full": (True, True, True),
-    "sort": (True, False, True),
+    # (PAGE_SORT, PAGE_CULL, PAGE_COND_SKIP, PAGE_PLAN)
+    "base": (False, False, False, False),
+    "skip": (False, False, True, False),
+    "cull": (False, True, True, False),
+    "full": (True, True, True, False),
+    "sort": (True, False, True, False),
+    "plan": (True, True, True, True),
 }
 
 mb = MeshSceneBuilder(grid=5, subdivisions=4)
@@ -57,7 +58,8 @@ print(f"process warm: {time.time() - t0:.1f} s", flush=True)
 settings = ptrt.RenderSettings(W, H, SPP, DEPTH)
 rays = W * H * SPP * DEPTH
 for name in args.variants.split(","):
-    bpp.PAGE_SORT, bpp.PAGE_CULL, bpp.PAGE_COND_SKIP = VARIANTS[name]
+    (bpp.PAGE_SORT, bpp.PAGE_CULL, bpp.PAGE_COND_SKIP,
+     bpp.PAGE_PLAN) = VARIANTS[name]
     jax.clear_caches()
     r = ptrt.RendererFactory.create(
         "tpu_path_raytracer", sample_group=min(64, SPP), chunk_rays=1 << 23,

@@ -23,7 +23,10 @@ def paged_small(monkeypatch):
     from jax.experimental.pallas import tpu as pltpu
 
     monkeypatch.setattr(intersect, "USE_PALLAS", True)
-    monkeypatch.setattr(bvh_pallas, "SMEM_BLOB_LIMIT", 2000)
+    # 2600: above one padded-to-1024x2 page + ps (so _scene_paged_ok holds
+    # with the round-5 8x128 padding), below the 160-tri one-level blob
+    # (3104 floats, so the one-level walk still declines)
+    monkeypatch.setattr(bvh_pallas, "SMEM_BLOB_LIMIT", 2600)
     monkeypatch.setattr(bvh_paged_pallas, "PAGE_BUDGET_FLOATS", 800)
     with pltpu.force_tpu_interpret_mode():
         yield
@@ -62,7 +65,11 @@ def test_pack_paged_structure(paged_small):
     # every triangle appears exactly once across top + page slot records
     gids = []
     for blob in [np.asarray(pg.top_slot)] + list(np.asarray(pg.page_slot)):
-        rec = np.asarray(blob).reshape(-1, bvh_pallas._SLOT_F)
+        flat = np.asarray(blob).reshape(-1)
+        # page blobs are padded to multiples of 8*128 for the planned
+        # kernel's (n_pages, 8, C/8) view; the tail is no full record
+        rec = flat[: len(flat) // bvh_pallas._SLOT_F * bvh_pallas._SLOT_F]
+        rec = rec.reshape(-1, bvh_pallas._SLOT_F)
         gids.append(rec[rec[:, 9] >= 0, 9])
     allg = np.concatenate(gids).astype(np.int64)
     tri = allg & bvh_pallas.GID_TRI_MASK
@@ -137,18 +144,27 @@ def test_paged_any_matches_xla(paged_small):
     )
 
 
-@pytest.mark.parametrize("cull", [True, False])
-def test_paged_page_sort_path_matches_xla(paged_small, monkeypatch, cull):
-    """Round-5 phase-2 lane schedule (PAGE_SORT: first-live-page-major
-    re-sort between the top walk and the page launches, XLA page-root
-    culling, lax.cond launch skip) must not change any lane's result.
-    ``_SORT_MIN_ROWS`` is shrunk so 256 rays take the sorted path."""
+def _sorted_fixture(monkeypatch):
+    """Shrink the sort gate and size the budgets so the 400-tri soup takes
+    the FULL round-5 phase-2 schedule: one-level declined (one-level blob
+    7.5K > 5000), ``_scene_paged_ok`` holds, and ``_plan_smem_ok``
+    (2×padded page = 4096 ≤ 5000) passes, so the planned dense passes
+    genuinely run."""
     monkeypatch.setattr(bvh_pallas, "_SORT_MIN_ROWS", 1)
-    monkeypatch.setattr(bvh_paged_pallas, "PAGE_CULL", cull)
-    assert bvh_paged_pallas.PAGE_SORT  # default on; this test covers it
-    scene = _soup_scene(160, seed=7)
+    monkeypatch.setattr(bvh_pallas, "SMEM_BLOB_LIMIT", 5000)
+    scene = _soup_scene(400, seed=7)
     cs = compile_scene(scene, use_bvh=True)
     assert cs.bvh.paged is not None
+    assert bvh_paged_pallas._plan_smem_ok(cs.bvh.paged)
+    return cs
+
+
+def test_paged_page_sort_path_matches_xla(paged_small, monkeypatch):
+    """Round-5 phase-2 lane schedule (PAGE_SORT first-live-page-major
+    re-sort, XLA page-root culling, lax.cond launch skip, PAGE_PLAN dense
+    passes) must not change any lane's result — closest AND occlusion."""
+    assert bvh_paged_pallas.PAGE_SORT and bvh_paged_pallas.PAGE_PLAN
+    cs = _sorted_fixture(monkeypatch)
     ro, rd = _rays(256, 11)
 
     hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
@@ -172,3 +188,18 @@ def test_paged_page_sort_path_matches_xla(paged_small, monkeypatch, cull):
     np.testing.assert_array_equal(
         np.asarray(occ_k)[care], np.asarray(occ_x)[care]
     )
+
+
+def test_paged_page_sort_no_cull_matches_xla(paged_small, monkeypatch):
+    """The PAGE_CULL=False variant of the sorted schedule (closest only —
+    the occlusion walk never culls, so it is covered above)."""
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_CULL", False)
+    cs = _sorted_fixture(monkeypatch)
+    ro, rd = _rays(256, 3)
+
+    hit_k = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    intersect.USE_PALLAS = False
+    hit_x = intersect.scene_hit(cs, ro, rd, 1e-3, 1e6)
+    np.testing.assert_array_equal(np.asarray(hit_k.hit), np.asarray(hit_x.hit))
+    np.testing.assert_allclose(np.asarray(hit_k.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
