@@ -19,22 +19,24 @@ module removes the cliff:
 * **Phase 2** (round-5 schedule): lanes are stable-sorted by their first
   live pending page (``PAGE_SORT``; the page-root slab recheck against the
   carried best culls stale pend bits, ``PAGE_CULL``), then
-  ``PAGE_PLAN_PASSES`` **planned dense passes** run: ONE kernel whose
-  grid-step index map (scalar prefetch) binds each BLOCK its own page's
-  blobs as double-buffered SMEM operands — consecutive blocks share a page
-  after the sort, so the pipeline's revisit-dedup fetches each page about
-  once while every block walks the page its lanes pend.  Any pend bit not
-  covered by a pass falls to the **cleanup loop**: one rooted-walk launch
-  per page with the page blobs as launch-level SMEM operands, each launch
-  ``lax.cond``-skipped when no lane still needs it (``PAGE_COND_SKIP``).
-  Page walks carry the best state through the SAME ``_bvh4_walk`` body; a
-  page no lane of a block pends costs that block one root pop.  In-kernel
-  page *streaming* is not the mechanism because this Mosaic toolchain
-  rejects every DMA whose destination is SMEM (probed on hardware, round 4
-  — HBM→VMEM dynamic-row copies work, HBM→SMEM and VMEM→SMEM fail remote
-  compilation even with static indices), and the scalar-core walk can only
-  read SMEM.  Occlusion walks early-exit the page loop once every lane is
-  occluded.
+  ``PAGE_PLAN_PASSES`` **segment passes** run: per page, one rooted-walk
+  launch enabled ONLY for the lanes whose first live page it is — after
+  the sort those lanes form one contiguous segment, so every block that
+  walks is dense while every other block exits on the root pop.  Walked
+  bits are cleared, the key recomputed (the improved best culls most
+  second pages), and the next pass sweeps the residue.  Any pend bit left
+  after the passes falls to the **cleanup loop**: one launch per page over
+  all still-pending lanes.  Every launch binds the page's blobs as
+  launch-level SMEM operands and is ``lax.cond``-skipped when no lane
+  needs it (``PAGE_COND_SKIP``); page walks carry the best state through
+  the SAME ``_bvh4_walk`` body.  In-kernel page *streaming* is not the
+  mechanism because this Mosaic toolchain rejects every DMA whose
+  destination is SMEM (probed on hardware, round 4 — HBM→VMEM dynamic-row
+  copies work, HBM→SMEM and VMEM→SMEM fail remote compilation even with
+  static indices), and the scalar-core walk can only read SMEM; a
+  per-block SMEM *index-map* schedule was built and measured 2× WORSE
+  (the pipeline re-fetches the page per block — BENCHMARKS.md round 5).
+  Occlusion walks early-exit the page loop once every lane is occluded.
 
 Correctness is per-lane exact, as in the one-level walk: a page skipped by
 the block is a page no lane's own slab test entered; carried best state
@@ -81,17 +83,15 @@ from .bvh_pallas import (
 # page children are encoded as inner metas with ids >= this base — far above
 # any real BVH4 node count the SMEM top tree could hold
 PAGE_META_BASE = 1 << 20
-# per-page blob budget (BVH4 records + slot records, floats).  Round-4
-# tuning under the launch-per-page schedule favored 200K (fewer launches,
-# +14% over 100K; experiments/measure_page_budget.py).  Round 5's planned
-# dense passes (PAGE_PLAN) bind pages through a per-block SMEM index map
-# whose operands the Mosaic pipeline DOUBLE-BUFFERS (probed:
-# experiments/probe_plan_budget.py — 200K floats/block fails remote
-# compile, 100K compiles and runs), so the default budget drops to 110K:
-# 2·(tree+slot+pad) ≈ 224K ≤ SMEM_BLOB_LIMIT.  ``pack_paged`` escalates
-# the budget (declining the planned gate, keeping launch-per-page) when
-# the cut would otherwise exceed ``PAGES_MAX`` pages.
-PAGE_BUDGET_FLOATS = 110_000
+# per-page blob budget (BVH4 records + slot records, floats).  Bigger
+# pages mean fewer per-pass launches and less root-re-entry redundancy;
+# measured round 4 (experiments/measure_page_budget.py): 200K -> 14 pages
+# beat 100K -> 50 pages by +14% under the launch-per-page schedule, and
+# the round-5 segment passes keep per-launch SMEM fetch as the dominant
+# constant, so big pages stay right.  ``pack_paged`` escalates the budget
+# toward ``PAGE_BUDGET_CEIL`` when the cut would otherwise exceed
+# ``PAGES_MAX`` pages.
+PAGE_BUDGET_FLOATS = 200_000
 # escalation ceiling — the launch-per-page schedule's per-launch bound.
 # Page launches bind ONLY (page_tree, page_slot) — no ps blob — so the cap
 # is the full SMEM operand budget less padding slack; at 64 pages this puts
@@ -121,16 +121,21 @@ PAGE_CULL = True
 # Skip a page launch entirely (lax.cond) when no lane in the chunk still
 # needs it — deep-bounce and shadow batches often drop whole pages.
 PAGE_COND_SKIP = True
-# Planned dense passes (round 5): before the per-page cleanup loop, run
-# PAGE_PLAN_PASSES launches of ONE kernel whose grid-step index map (scalar
-# prefetch) binds each BLOCK its own page as the SMEM operand — the
-# page-major sort makes consecutive blocks share a page, so the pipeline's
-# revisit-dedup fetches each page ~once while every block walks the page
-# its lanes actually pend.  This attacks the measured cost structure
-# (experiments/measure_paged_decomp.py): sparse per-page launches paid ~50
-# us per (block, page) visit with only ~200 live lanes per visited block.
-# The per-page cond-skip loop after the passes guarantees exactness (any
-# pend bit not covered by a pass is walked there).
+# Segment passes (round 5): before the per-page cleanup loop, run
+# PAGE_PLAN_PASSES sweeps in which page p's launch enables ONLY the lanes
+# whose FIRST live page is p — one contiguous segment after the page-major
+# sort, so walking blocks are dense.  This attacks the measured cost
+# structure (experiments/measure_paged_decomp.py): the cleanup schedule
+# alone paid ~50 us per (block, page) visit with only ~200 live lanes per
+# visited block, because a page's enables scatter across blocks.  Between
+# passes the walked bits are cleared and the key recomputed, so the
+# improved best_t culls most remaining pairs.  The cond-skip cleanup loop
+# after the passes guarantees exactness (any pend bit not covered by a
+# pass is walked there).  A per-block SMEM index-map variant of this idea
+# (ONE launch, each block binding its own page via scalar-prefetch index
+# maps) was built, probed, and measured 2x WORSE end-to-end — the
+# pipeline re-fetches the SMEM operand per block (~415 KB x 128 blocks
+# per launch); BENCHMARKS.md round 5 records it.
 PAGE_PLAN = True
 PAGE_PLAN_PASSES = 2
 
@@ -612,71 +617,6 @@ def _page_any_kernel(
     )
 
 
-class _FlatView:
-    """Present a ``(1, 8, C)`` SMEM block as the flat ``(1, 8*C)`` ref the
-    walk helpers index (they only ever read ``ref[0, scalar]``)."""
-
-    __slots__ = ("ref", "c")
-
-    def __init__(self, ref, c: int):
-        self.ref = ref
-        self.c = c
-
-    def __getitem__(self, key):
-        _zero, off = key
-        return self.ref[0, off // self.c, off % self.c]
-
-
-def _page_planned_closest_kernel(
-    m4p, leaf_size, gid_offset, t_min, tcw, scw,
-    pick_ref, tree_ref, slot_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, en_ref,
-    bt0_ref, bi0_ref, bu0_ref, bv0_ref, nx0_ref, ny0_ref, nz0_ref,
-    bt_ref, bi_ref, bu_ref, bv_ref, nx_ref, ny_ref, nz_ref,
-    stack_ref,
-):
-    """One planned pass: this block walks THE page its index map bound
-    (``pick[program_id]``), with the same carried-state semantics as
-    ``_page_closest_kernel``.  ``pick_ref`` itself is unused in the body —
-    it drives the tree/slot BlockSpec index maps."""
-    del pick_ref
-    tree = _FlatView(tree_ref, tcw)
-    slot = _FlatView(slot_ref, scw)
-    ox = ox_ref[:]
-    en = en_ref[:] > 0.5
-    bt0 = bt0_ref[:]
-    prev = (bt0, bi0_ref[:], bu0_ref[:], bv0_ref[:],
-            nx0_ref[:], ny0_ref[:], nz0_ref[:])
-    out = _bvh4_walk(
-        m4p, leaf_size, t_min, tree, slot, stack_ref, jnp.int32(0),
-        ox, oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
-        jnp.where(en, bt0, jnp.float32(-1.0)), prev[1],
-        with_attrs=True, attrs0=prev[2:], gid_offset=gid_offset,
-    )
-    for ref, new, old in zip(
-        (bt_ref, bi_ref, bu_ref, bv_ref, nx_ref, ny_ref, nz_ref), out, prev
-    ):
-        ref[:] = jnp.where(en, new, old)
-
-
-def _page_planned_any_kernel(
-    m4p, leaf_size, t_min, tcw, scw,
-    pick_ref, tree_ref, slot_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    limit_ref, found0_ref,
-    found_ref, stack_ref,
-):
-    """One planned occlusion pass over per-block pages (see closest)."""
-    del pick_ref
-    tree = _FlatView(tree_ref, tcw)
-    slot = _FlatView(slot_ref, scw)
-    found_ref[:] = _bvh4_any_walk(
-        m4p, leaf_size, t_min, tree, slot, stack_ref,
-        ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
-        limit_ref[:], found0_ref[:],
-    )
-
-
 # ---- wrappers ----------------------------------------------------------------
 
 
@@ -732,15 +672,27 @@ def _page_bit(plo, phi, p: int):
     return ((word >> (p % 32)) & 1).astype(jnp.float32)
 
 
-def _plan_smem_ok(pg) -> bool:
-    """The planned kernel's index-mapped SMEM operands are double-buffered
-    by the pipeline (probe_plan_budget.py), so a planned launch needs
-    2×(tree+slot) within the per-launch budget; larger pages fall back to
-    the launch-per-page schedule."""
-    from .bvh_pallas import SMEM_BLOB_LIMIT
+def _paged_geom(cs, n):
+    from .intersect_pallas import pack_ps_blob, ps_blob_layout
 
-    return 2 * (int(pg.page_tree.shape[1]) + int(pg.page_slot.shape[1])) \
-        <= SMEM_BLOB_LIMIT
+    bvh = cs.bvh
+    pg = bvh.paged
+    rows, block_rows = _blocks(n)
+    m4t = int(pg.top_tree.shape[1]) // _NODE4_F
+    m4p = int(pg.page_tree.shape[1]) // _NODE4_F
+    leaf_size = int(bvh.slots.shape[1])
+    layout = ps_blob_layout(cs)
+    ps_blob = pack_ps_blob(cs)
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pg, rows, block_rows, m4t, m4p, leaf_size, layout, ps_blob, spec, smem
+
+
+def _page_bit(plo, phi, p: int):
+    """Per-lane enable for page ``p`` from the two pend words (XLA side)."""
+    word = plo if p < 32 else phi
+    return ((word >> (p % 32)) & 1).astype(jnp.float32)
 
 
 def _page_root_slab(pg, p: int, o: V3, d: V3, t_min: float, far):
@@ -840,89 +792,6 @@ def bvh_paged_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float,
         ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz))
         ov, dv = V3(ox, oy, oz), V3(dx, dy, dz)
 
-        # ---- planned dense passes (module note at PAGE_PLAN) ------------
-        if (page_sorted and PAGE_PLAN and PAGE_PLAN_PASSES > 0
-                and _plan_smem_ok(pg)):
-            tcw = int(pg.page_tree.shape[1]) // 8
-            scw = int(pg.page_slot.shape[1]) // 8
-            tree3 = pg.page_tree.reshape(pg.n_pages, 8, tcw)
-            slot3 = pg.page_slot.reshape(pg.n_pages, 8, scw)
-            blockl = block_rows * LANES
-            planned_fn = partial(
-                _page_planned_closest_kernel, m4p, leaf_size, gid_offset,
-                float(t_min), tcw, scw,
-            )
-
-            def planned_step(pick, en, bt, bi, bu, bv, nx, ny, nz):
-                grid_spec = pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=1,
-                    grid=(rows // block_rows,),
-                    in_specs=[
-                        pl.BlockSpec((1, 8, tcw),
-                                     lambda i, pick: (pick[i], 0, 0),
-                                     memory_space=pltpu.SMEM),
-                        pl.BlockSpec((1, 8, scw),
-                                     lambda i, pick: (pick[i], 0, 0),
-                                     memory_space=pltpu.SMEM),
-                    ] + [pl.BlockSpec((block_rows, LANES),
-                                      lambda i, pick: (i, 0),
-                                      memory_space=pltpu.VMEM)] * 14,
-                    out_specs=[pl.BlockSpec((block_rows, LANES),
-                                            lambda i, pick: (i, 0),
-                                            memory_space=pltpu.VMEM)] * 7,
-                    scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
-                )
-                out = pl.pallas_call(
-                    planned_fn,
-                    grid_spec=grid_spec,
-                    out_shape=[f32, i32] + [f32] * 5,
-                )(
-                    pick, tree3, slot3, *ray_args, r2(en),
-                    r2(bt), r2(bi), r2(bu), r2(bv), r2(nx), r2(ny), r2(nz),
-                )
-                return tuple(a.reshape(n) for a in out)
-
-            for pass_i in range(PAGE_PLAN_PASSES):
-                if pass_i > 0:
-                    key2 = live_key(bt, plo, phi, ov, dv)
-                    (key2, iota2, ox, oy, oz, dx, dy, dz, bt, bi, bu, bv,
-                     nx, ny, nz, plo, phi) = jax.lax.sort(
-                        [key2, iota2, ox, oy, oz, dx, dy, dz, bt, bi, bu,
-                         bv, nx, ny, nz, plo, phi],
-                        num_keys=1, is_stable=True,
-                    )
-                    ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy),
-                                r2(dz))
-                    ov, dv = V3(ox, oy, oz), V3(dx, dy, dz)
-                pick_raw = key2[::blockl]
-                pick = jnp.clip(pick_raw, 0, pg.n_pages - 1)
-                en_b = (key2 == jnp.repeat(pick_raw, blockl)) & (
-                    key2 < pg.n_pages
-                )
-                state = (bt, bi, bu, bv, nx, ny, nz)
-                if PAGE_COND_SKIP:
-                    state = jax.lax.cond(
-                        jnp.any(en_b),
-                        lambda pick, en, *s: planned_step(pick, en, *s),
-                        lambda _pick, _en, *s: s,
-                        pick, en_b.astype(jnp.float32), *state,
-                    )
-                else:
-                    state = planned_step(
-                        pick, en_b.astype(jnp.float32), *state)
-                bt, bi, bu, bv, nx, ny, nz = state
-                # the walked page is done for those lanes: clear its bit so
-                # the cleanup loop (and the next pass's key) skip it
-                k = jnp.clip(key2, 0, PAGES_MAX - 1)
-                lo_bit = jnp.where(
-                    en_b & (k < 32),
-                    jnp.left_shift(jnp.int32(1), jnp.clip(k, 0, 31)), 0)
-                hi_bit = jnp.where(
-                    en_b & (k >= 32),
-                    jnp.left_shift(jnp.int32(1), jnp.clip(k - 32, 0, 31)), 0)
-                plo = plo & ~lo_bit
-                phi = phi & ~hi_bit
-
         page_fn = partial(_page_closest_kernel, m4p, leaf_size, gid_offset,
                           float(t_min))
 
@@ -940,6 +809,50 @@ def bvh_paged_scene_closest_pallas(cs, ro: V3, rd: V3, t_min: float,
                 r2(bt), r2(bi), r2(bu), r2(bv), r2(nx), r2(ny), r2(nz),
             )
             return tuple(a.reshape(n) for a in out)
+
+        def cond_page_step(p, en_b, state):
+            if PAGE_COND_SKIP:
+                return jax.lax.cond(
+                    jnp.any(en_b),
+                    lambda en, *s, p=p: page_step(p, en, *s),
+                    lambda _en, *s: s,
+                    en_b.astype(jnp.float32), *state,
+                )
+            return page_step(p, en_b.astype(jnp.float32), *state)
+
+        # ---- segment passes (module note at PAGE_PLAN) ------------------
+        if page_sorted and PAGE_PLAN and PAGE_PLAN_PASSES > 0:
+            for pass_i in range(PAGE_PLAN_PASSES):
+                if pass_i > 0:
+                    key2 = live_key(bt, plo, phi, ov, dv)
+                    (key2, iota2, ox, oy, oz, dx, dy, dz, bt, bi, bu, bv,
+                     nx, ny, nz, plo, phi) = jax.lax.sort(
+                        [key2, iota2, ox, oy, oz, dx, dy, dz, bt, bi, bu,
+                         bv, nx, ny, nz, plo, phi],
+                        num_keys=1, is_stable=True,
+                    )
+                    ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy),
+                                r2(dz))
+                    ov, dv = V3(ox, oy, oz), V3(dx, dy, dz)
+                state = (bt, bi, bu, bv, nx, ny, nz)
+                for p in range(pg.n_pages):
+                    # only the lanes whose FIRST live page is p — after the
+                    # sort these are one contiguous segment, so the blocks
+                    # that walk are dense and every other block root-pops
+                    state = cond_page_step(p, key2 == p, state)
+                bt, bi, bu, bv, nx, ny, nz = state
+                # first-live pages are done: clear their bits so the next
+                # pass's key and the cleanup loop skip them
+                walked = key2 < pg.n_pages
+                k = jnp.clip(key2, 0, PAGES_MAX - 1)
+                lo_bit = jnp.where(
+                    walked & (k < 32),
+                    jnp.left_shift(jnp.int32(1), jnp.clip(k, 0, 31)), 0)
+                hi_bit = jnp.where(
+                    walked & (k >= 32),
+                    jnp.left_shift(jnp.int32(1), jnp.clip(k - 32, 0, 31)), 0)
+                plo = plo & ~lo_bit
+                phi = phi & ~hi_bit
 
         for p in range(pg.n_pages):
             # re-test the pend superset against the CARRIED best_t (shrunk
@@ -1037,83 +950,6 @@ def bvh_paged_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
         lim = r2(lim)
         ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz))
 
-        # ---- planned dense passes (module note at PAGE_PLAN) ------------
-        if (page_sorted and PAGE_PLAN and PAGE_PLAN_PASSES > 0
-                and _plan_smem_ok(pg)):
-            tcw = int(pg.page_tree.shape[1]) // 8
-            scw = int(pg.page_slot.shape[1]) // 8
-            tree3 = pg.page_tree.reshape(pg.n_pages, 8, tcw)
-            slot3 = pg.page_slot.reshape(pg.n_pages, 8, scw)
-            blockl = block_rows * LANES
-            planned_fn = partial(_page_planned_any_kernel, m4p, leaf_size,
-                                 float(t_min), tcw, scw)
-
-            def planned_step(pick, found_in):
-                grid_spec = pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=1,
-                    grid=(rows // block_rows,),
-                    in_specs=[
-                        pl.BlockSpec((1, 8, tcw),
-                                     lambda i, pick: (pick[i], 0, 0),
-                                     memory_space=pltpu.SMEM),
-                        pl.BlockSpec((1, 8, scw),
-                                     lambda i, pick: (pick[i], 0, 0),
-                                     memory_space=pltpu.SMEM),
-                    ] + [pl.BlockSpec((block_rows, LANES),
-                                      lambda i, pick: (i, 0),
-                                      memory_space=pltpu.VMEM)] * 8,
-                    out_specs=pl.BlockSpec((block_rows, LANES),
-                                           lambda i, pick: (i, 0),
-                                           memory_space=pltpu.VMEM),
-                    scratch_shapes=[pltpu.SMEM((_STACK_CAP,), jnp.int32)],
-                )
-                out = pl.pallas_call(
-                    planned_fn,
-                    grid_spec=grid_spec,
-                    out_shape=f32,
-                )(pick, tree3, slot3, *ray_args, lim, r2(found_in))
-                return out.reshape(n)
-
-            for pass_i in range(PAGE_PLAN_PASSES):
-                if pass_i > 0:
-                    key2 = _first_page_key(pg, plo, phi,
-                                           lambda p: found < 0.5)
-                    (key2, iota2, ox, oy, oz, dx, dy, dz, lim_f, found,
-                     plo, phi) = jax.lax.sort(
-                        [key2, iota2, ox, oy, oz, dx, dy, dz,
-                         lim.reshape(n), found, plo, phi],
-                        num_keys=1, is_stable=True,
-                    )
-                    lim = r2(lim_f)
-                    ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy),
-                                r2(dz))
-                pick_raw = key2[::blockl]
-                pick = jnp.clip(pick_raw, 0, pg.n_pages - 1)
-                en_b = (key2 == jnp.repeat(pick_raw, blockl)) & (
-                    key2 < pg.n_pages
-                )
-                en = en_b.astype(jnp.float32)
-                found_in = jnp.maximum(found, 1.0 - en)
-                if PAGE_COND_SKIP:
-                    walked = jax.lax.cond(
-                        jnp.any(en_b & (found < 0.5)),
-                        lambda pick, fi: planned_step(pick, fi),
-                        lambda _pick, fi: fi,
-                        pick, found_in,
-                    )
-                else:
-                    walked = planned_step(pick, found_in)
-                found = jnp.maximum(found, walked * en)
-                k = jnp.clip(key2, 0, PAGES_MAX - 1)
-                lo_bit = jnp.where(
-                    en_b & (k < 32),
-                    jnp.left_shift(jnp.int32(1), jnp.clip(k, 0, 31)), 0)
-                hi_bit = jnp.where(
-                    en_b & (k >= 32),
-                    jnp.left_shift(jnp.int32(1), jnp.clip(k - 32, 0, 31)), 0)
-                plo = plo & ~lo_bit
-                phi = phi & ~hi_bit
-
         page_fn = partial(_page_any_kernel, m4p, leaf_size, float(t_min))
 
         def page_step(p, found_in):
@@ -1129,6 +965,48 @@ def bvh_paged_scene_any_pallas(cs, ro: V3, rd: V3, t_min: float, limit):
                 *ray_args, lim, r2(found_in),
             )
             return out.reshape(n)
+
+        # ---- segment passes (module note at PAGE_PLAN) ------------------
+        if page_sorted and PAGE_PLAN and PAGE_PLAN_PASSES > 0:
+            for pass_i in range(PAGE_PLAN_PASSES):
+                if pass_i > 0:
+                    key2 = _first_page_key(pg, plo, phi,
+                                           lambda p: found < 0.5)
+                    (key2, iota2, ox, oy, oz, dx, dy, dz, lim_f, found,
+                     plo, phi) = jax.lax.sort(
+                        [key2, iota2, ox, oy, oz, dx, dy, dz,
+                         lim.reshape(n), found, plo, phi],
+                        num_keys=1, is_stable=True,
+                    )
+                    lim = r2(lim_f)
+                    ray_args = (r2(ox), r2(oy), r2(oz), r2(dx), r2(dy),
+                                r2(dz))
+                for p in range(pg.n_pages):
+                    # only lanes whose first live page is p: one contiguous
+                    # segment after the sort, so walking blocks are dense
+                    en_b = key2 == p
+                    en = en_b.astype(jnp.float32)
+                    found_in = jnp.maximum(found, 1.0 - en)
+                    if PAGE_COND_SKIP:
+                        walked = jax.lax.cond(
+                            jnp.any(found_in < 0.5),
+                            lambda fi, p=p: page_step(p, fi),
+                            lambda fi: fi,
+                            found_in,
+                        )
+                    else:
+                        walked = page_step(p, found_in)
+                    found = jnp.maximum(found, walked * en)
+                walked_b = key2 < pg.n_pages
+                k = jnp.clip(key2, 0, PAGES_MAX - 1)
+                lo_bit = jnp.where(
+                    walked_b & (k < 32),
+                    jnp.left_shift(jnp.int32(1), jnp.clip(k, 0, 31)), 0)
+                hi_bit = jnp.where(
+                    walked_b & (k >= 32),
+                    jnp.left_shift(jnp.int32(1), jnp.clip(k - 32, 0, 31)), 0)
+                plo = plo & ~lo_bit
+                phi = phi & ~hi_bit
 
         for p in range(pg.n_pages):
             # a found lane never re-walks; unfound lanes that don't need

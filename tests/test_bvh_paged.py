@@ -146,16 +146,26 @@ def test_paged_any_matches_xla(paged_small):
 
 def _sorted_fixture(monkeypatch):
     """Shrink the sort gate and size the budgets so the 400-tri soup takes
-    the FULL round-5 phase-2 schedule: one-level declined (one-level blob
-    7.5K > 5000), ``_scene_paged_ok`` holds, and ``_plan_smem_ok``
-    (2×padded page = 4096 ≤ 5000) passes, so the planned dense passes
-    genuinely run."""
+    the FULL round-5 phase-2 schedule (page-major sort, segment passes,
+    cleanup loop): one-level declined (one-level blob 7.5K > 5000) while
+    ``_scene_paged_ok`` holds.  PAGE_COND_SKIP is off here: XLA:CPU
+    segfaults *flakily* compiling the large cond-heavy interpret program
+    (~1-in-2 across suite runs, always in `backend_compile_and_load` on
+    the any-walk program); the cond path is a perf-only branch wrapper and
+    stays covered by the smaller unsorted cleanup tests above."""
     monkeypatch.setattr(bvh_pallas, "_SORT_MIN_ROWS", 1)
-    monkeypatch.setattr(bvh_pallas, "SMEM_BLOB_LIMIT", 5000)
+    monkeypatch.setattr(bvh_pallas, "SMEM_BLOB_LIMIT", 6000)
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_COND_SKIP", False)
+    # few big pages + one pass keep the interpret-mode XLA:CPU compile of
+    # the multi-launch program tractable (12-page/2-pass programs took
+    # >10 min EACH to compile); one dense pass + cleanup covers every
+    # schedule branch the pass count multiplies
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_BUDGET_FLOATS", 2000)
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_PLAN_PASSES", 1)
     scene = _soup_scene(400, seed=7)
     cs = compile_scene(scene, use_bvh=True)
     assert cs.bvh.paged is not None
-    assert bvh_paged_pallas._plan_smem_ok(cs.bvh.paged)
+    assert 2 <= cs.bvh.paged.n_pages <= 6
     return cs
 
 
@@ -190,9 +200,12 @@ def test_paged_page_sort_path_matches_xla(paged_small, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_paged_page_sort_no_cull_matches_xla(paged_small, monkeypatch):
     """The PAGE_CULL=False variant of the sorted schedule (closest only —
-    the occlusion walk never culls, so it is covered above)."""
+    the occlusion walk never culls, so it is covered above).  Marked slow:
+    it compiles its own multi-launch interpret program (~5 min XLA:CPU
+    compile) to cover a non-default diagnostic flag."""
     monkeypatch.setattr(bvh_paged_pallas, "PAGE_CULL", False)
     cs = _sorted_fixture(monkeypatch)
     ro, rd = _rays(256, 3)
