@@ -121,22 +121,23 @@ PAGE_CULL = True
 # Skip a page launch entirely (lax.cond) when no lane in the chunk still
 # needs it — deep-bounce and shadow batches often drop whole pages.
 PAGE_COND_SKIP = True
-# Segment passes (round 5): before the per-page cleanup loop, run
+# Segment passes (round 5, DEFAULT OFF — a measured negative kept as a
+# tested capability): before the per-page cleanup loop, run
 # PAGE_PLAN_PASSES sweeps in which page p's launch enables ONLY the lanes
 # whose FIRST live page is p — one contiguous segment after the page-major
-# sort, so walking blocks are dense.  This attacks the measured cost
-# structure (experiments/measure_paged_decomp.py): the cleanup schedule
-# alone paid ~50 us per (block, page) visit with only ~200 live lanes per
-# visited block, because a page's enables scatter across blocks.  Between
-# passes the walked bits are cleared and the key recomputed, so the
-# improved best_t culls most remaining pairs.  The cond-skip cleanup loop
-# after the passes guarantees exactness (any pend bit not covered by a
-# pass is walked there).  A per-block SMEM index-map variant of this idea
-# (ONE launch, each block binding its own page via scalar-prefetch index
-# maps) was built, probed, and measured 2x WORSE end-to-end — the
-# pipeline re-fetches the SMEM operand per block (~415 KB x 128 blocks
-# per launch); BENCHMARKS.md round 5 records it.
-PAGE_PLAN = True
+# sort, so walking blocks are dense.  Measured on the 128K-tri scene
+# (experiments/measure_page_sort.py, 16 spp steady): 28.8 s vs the
+# sort+cull+skip schedule's 25.05 s — the extra per-page launch constants
+# (~150 us of SMEM operand fetch each) and the inter-pass re-key/re-sort
+# cost MORE than the dense-block walks save, because dense blocks also
+# walk a larger node union.  A per-block SMEM *index-map* variant (ONE
+# launch, each block binding its own page via scalar-prefetch index maps)
+# measured 2x worse still (54.3 s) — the pipeline re-fetches the ~415 KB
+# SMEM operand per block rather than deduping repeats.  Both schedules
+# remain correct and covered by tests; BENCHMARKS.md round 5 records the
+# decomposition (experiments/measure_paged_decomp.py) that motivated and
+# then bounded them.
+PAGE_PLAN = False
 PAGE_PLAN_PASSES = 2
 
 

@@ -159,8 +159,10 @@ def _sorted_fixture(monkeypatch):
     # few big pages + one pass keep the interpret-mode XLA:CPU compile of
     # the multi-launch program tractable (12-page/2-pass programs took
     # >10 min EACH to compile); one dense pass + cleanup covers every
-    # schedule branch the pass count multiplies
+    # schedule branch the pass count multiplies.  PAGE_PLAN defaults OFF
+    # in production (measured negative) but stays covered here.
     monkeypatch.setattr(bvh_paged_pallas, "PAGE_BUDGET_FLOATS", 2000)
+    monkeypatch.setattr(bvh_paged_pallas, "PAGE_PLAN", True)
     monkeypatch.setattr(bvh_paged_pallas, "PAGE_PLAN_PASSES", 1)
     scene = _soup_scene(400, seed=7)
     cs = compile_scene(scene, use_bvh=True)
@@ -173,7 +175,7 @@ def test_paged_page_sort_path_matches_xla(paged_small, monkeypatch):
     """Round-5 phase-2 lane schedule (PAGE_SORT first-live-page-major
     re-sort, XLA page-root culling, lax.cond launch skip, PAGE_PLAN dense
     passes) must not change any lane's result — closest AND occlusion."""
-    assert bvh_paged_pallas.PAGE_SORT and bvh_paged_pallas.PAGE_PLAN
+    assert bvh_paged_pallas.PAGE_SORT
     cs = _sorted_fixture(monkeypatch)
     ro, rd = _rays(256, 11)
 
