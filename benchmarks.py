@@ -74,8 +74,10 @@ def run_config(idx: int, scale: float) -> dict:
         # gather-free replacement for the round-1 XLA walk that lost to
         # brute force.  Chunks kept moderate for the TPU watchdog.
         # shadow_tmax="light" bounds NEE occlusion at the light (this scene
-        # is not a reference-parity target; the 1e6 quirk would force the
-        # any-walk to scan the whole unbounded shadow ray).
+        # is not a reference-parity target, so the physically-correct bound
+        # ships).  Round-5 A/B (measure_shadow_tmax.py): the faithful 1e6
+        # quirk bound is +15% FASTER here (more accepted any-hits -> earlier
+        # exits); "light" is kept for the image and round 3/4 continuity.
         # sample_group 128 / chunk 1<<24: at full spec (512 spp) group 128
         # measured 152.2 s vs group 64's 161.9 s (+6.4%, round 4); at
         # scaled-down spp the group clamps and the lane-width cap
